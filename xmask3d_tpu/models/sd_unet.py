@@ -1,0 +1,231 @@
+"""Stable Diffusion v1 denoising UNet in Flax, NHWC, with feature taps and
+an additive conditioning offset on the time embedding.
+
+Capability parity with the reference's manual UNet forward
+(ldm.py:425-446): runs the full input/middle/output block stack with text
+cross-attention `context` (B, 77, 768), supports the implicit-captioner's
+`cond_emb` added onto the time embedding, and returns the features at the
+configured output-block indices — the concatenated [h, skip] *inputs* of
+those blocks, exactly what the reference taps (ldm.py:441-443).
+
+Architecture (SD v1): model_channels=320, ch_mult=(1,2,4,4),
+num_res_blocks=2, attention at every level except the innermost is per
+`attention_levels`, 8 heads, context_dim=768, transformer depth 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    attention_levels: Sequence[int] = (0, 1, 2)  # attn_res (4,2,1) in latent units
+    num_heads: int = 8
+    context_dim: int = 768
+
+
+UNET_TINY = UNetConfig(
+    model_channels=32, ch_mult=(1, 2), num_res_blocks=1,
+    attention_levels=(0, 1), num_heads=2, context_dim=24,
+)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000):
+    """Sinusoidal timestep embedding (standard DDPM/LDM formulation)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class UNetResBlock(nn.Module):
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = nn.GroupNorm(32, dtype=self.dtype, name="in_norm")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        h = h + e[:, None, None, :]
+        h = nn.GroupNorm(32, dtype=self.dtype, name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="out_conv")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ctx = x if context is None else context
+        c = x.shape[-1]
+        d = c // self.heads
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        def split(z):
+            return z.reshape(z.shape[0], z.shape[1], self.heads, d).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * (d**-0.5), k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], c)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(2 * self.out_dim, dtype=self.dtype, name="proj")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        return a * jax.nn.gelu(b)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        c = x.shape[-1]
+        x = x + CrossAttention(self.heads, dtype=self.dtype, name="attn1")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        )
+        x = x + CrossAttention(self.heads, dtype=self.dtype, name="attn2")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context
+        )
+        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        y = GEGLU(4 * c, dtype=self.dtype, name="ff_geglu")(y)
+        x = x + nn.Dense(c, dtype=self.dtype, name="ff_out")(y)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        y = nn.GroupNorm(32, dtype=self.dtype, name="norm")(x)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = y.reshape(b, h * w, c)
+        y = BasicTransformerBlock(self.heads, dtype=self.dtype, name="block_0")(
+            y, context
+        )
+        y = y.reshape(b, h, w, c)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        return x + y
+
+
+class SDUNet(nn.Module):
+    cfg: UNetConfig = UNetConfig()
+    tap_indices: Sequence[int] = (2, 5, 8, 11)  # reference unet_block_indices
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, h, w, 4) noisy latent
+        t: jnp.ndarray,  # (B,) timesteps
+        context: jnp.ndarray,  # (B, 77, context_dim) text conditioning
+        cond_emb: Optional[jnp.ndarray] = None,  # (B, 4*model_ch) additive
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        cfg = self.cfg
+        mc = cfg.model_channels
+        temb = timestep_embedding(t, mc)
+        emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_0")(
+            temb.astype(self.dtype)
+        )
+        emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+        if cond_emb is not None:
+            # implicit captioner offset on the time embedding (ldm.py:432-433)
+            emb = emb + cond_emb.astype(self.dtype)
+
+        n_lv = len(cfg.ch_mult)
+        taps: List[jnp.ndarray] = []
+        hs: List[jnp.ndarray] = []
+        h = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(
+            x.astype(self.dtype)
+        )
+        hs.append(h)
+        # input blocks
+        for lv, mult in enumerate(cfg.ch_mult):
+            for i in range(cfg.num_res_blocks):
+                h = UNetResBlock(mc * mult, dtype=self.dtype, name=f"down_{lv}_res_{i}")(
+                    h, emb
+                )
+                if lv in cfg.attention_levels:
+                    h = SpatialTransformer(
+                        cfg.num_heads, dtype=self.dtype, name=f"down_{lv}_attn_{i}"
+                    )(h, context)
+                hs.append(h)
+            if lv != n_lv - 1:
+                h = nn.Conv(
+                    h.shape[-1], (3, 3), strides=(2, 2), padding=1,
+                    dtype=self.dtype, name=f"down_{lv}_downsample",
+                )(h)
+                hs.append(h)
+
+        # middle
+        h = UNetResBlock(h.shape[-1], dtype=self.dtype, name="mid_res_0")(h, emb)
+        h = SpatialTransformer(cfg.num_heads, dtype=self.dtype, name="mid_attn")(
+            h, context
+        )
+        h = UNetResBlock(h.shape[-1], dtype=self.dtype, name="mid_res_1")(h, emb)
+
+        # output blocks
+        out_idx = 0
+        for rev, lv in enumerate(reversed(range(n_lv))):
+            for i in range(cfg.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                if out_idx in self.tap_indices:
+                    taps.append(h)  # tap = concatenated block input
+                h = UNetResBlock(
+                    mc * cfg.ch_mult[lv], dtype=self.dtype, name=f"up_{lv}_res_{i}"
+                )(h, emb)
+                if lv in cfg.attention_levels:
+                    h = SpatialTransformer(
+                        cfg.num_heads, dtype=self.dtype, name=f"up_{lv}_attn_{i}"
+                    )(h, context)
+                if lv != 0 and i == cfg.num_res_blocks:
+                    b_, hh, ww, cc = h.shape
+                    h = jax.image.resize(h, (b_, 2 * hh, 2 * ww, cc), method="nearest")
+                    h = nn.Conv(
+                        cc, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"up_{lv}_upsample",
+                    )(h)
+                out_idx += 1
+
+        h = nn.GroupNorm(32, dtype=self.dtype, name="out_norm")(h)
+        h = nn.silu(h)
+        eps = nn.Conv(
+            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="out_conv"
+        )(h)
+        return eps, taps
