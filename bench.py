@@ -1,0 +1,106 @@
+"""Scene-inference throughput benchmark (the BASELINE.json primary metric).
+
+Measures scenes/sec/chip for the full XMask3D eval pipeline (SD v1 backbone
+at 512x512, MinkUNet34C/18A 3D branches, Mask2Former head, MaskCLIP ViT-L,
+on-device ensemble + routing) on synthetic ScanNet-like scenes following the
+reference inference protocol: batch = 1 view, VIEWS_PER_SCENE accepted views
+per scene, multi-view per-point voting (run/infer.py:375-694).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+the denominator is the documented A100 fp32 estimate of 0.15 scenes/sec
+(SD UNet+VAE ~1.2 TFLOP/view fp32 + MinkUNet re-run per view, ~0.2 s/view,
+30 views/scene). Update BASELINE.md when a measured A100 number exists.
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_BASELINE_SCENES_PER_SEC = 0.15
+VIEWS_PER_SCENE = 30
+NUM_SCENES = 3
+
+# keep the TPU plugin env intact; bench runs on the real chip when present.
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xmask3d_tpu.config import load_config
+    from xmask3d_tpu.data.batching import Capacities
+    from xmask3d_tpu.data.synthetic import synthetic_batch
+    from xmask3d_tpu.engine.builder import init_model
+    from xmask3d_tpu.engine.infer import ensemble_and_route
+
+    size = os.environ.get("BENCH_SIZE", "full")
+    tiny = size == "tiny"
+    cfg = load_config("configs/scannet/xmask3d_scannet_B15N4.yaml")
+    if tiny:
+        caps = Capacities(max_points=512, max_voxels=256, max_targets=8)
+        image = 64
+        cfg.mask_shape = [24, 32]
+        ctx, vocab = 16, 512
+        npts = 400
+    else:
+        caps = Capacities(max_points=32768, max_voxels=24576, max_targets=24)
+        image = 512
+        ctx, vocab = 77, 49408
+        npts = 20000
+
+    batch = synthetic_batch(
+        1, caps, seed=0, num_points=npts, image_size=(image, image),
+        mask_shape=tuple(cfg.mask_shape), context_length=ctx, vocab_size=vocab,
+    )
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    model, variables, statics = init_model(cfg, batch, tiny=tiny)
+    mc = model.cfg
+
+    @jax.jit
+    def infer_step(variables, batch, statics):
+        _, outputs = model.apply(
+            variables, batch, statics, train=False,
+            rngs={"points": jax.random.PRNGKey(0)},
+        )
+        return ensemble_and_route(
+            outputs, mc.base_category, mc.novel_category, mc.num_test_classes,
+            cfg.base_ratio, cfg.novel_ratio,
+        )["pred"]
+
+    # compile + warmup
+    pred = infer_step(variables, batch, statics)
+    pred.block_until_ready()
+
+    views = []
+    for v in range(VIEWS_PER_SCENE):
+        b = synthetic_batch(
+            1, caps, seed=100 + v, num_points=npts, image_size=(image, image),
+            mask_shape=tuple(cfg.mask_shape), context_length=ctx, vocab_size=vocab,
+        )
+        views.append(jax.tree_util.tree_map(jnp.asarray, b))
+
+    t0 = time.time()
+    for s in range(NUM_SCENES):
+        for b in views:
+            pred = infer_step(variables, b, statics)
+        pred.block_until_ready()
+    dt = time.time() - t0
+    scenes_per_sec = NUM_SCENES / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "scene_inference_throughput",
+                "value": round(scenes_per_sec, 5),
+                "unit": "scenes/sec/chip",
+                "vs_baseline": round(scenes_per_sec / A100_BASELINE_SCENES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

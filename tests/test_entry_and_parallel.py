@@ -1,0 +1,41 @@
+"""Multi-chip dry run (8 virtual CPU devices) + optimizer labeling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_param_labels():
+    from xmask3d_tpu.engine.train_step import param_label
+
+    assert param_label(("params", "pc_decoder", "x", "kernel")) == "3d"
+    assert param_label(("params", "pc_binary_head", "bn", "scale")) == "3d"
+    assert (
+        param_label(
+            ("params", "backbone", "feature_extractor", "ldm_extractor", "unet", "k")
+        )
+        == "frozen"
+    )
+    assert param_label(("params", "clip", "visual", "proj")) == "frozen"
+    assert (
+        param_label(("params", "backbone", "feature_extractor", "clip_project", "k"))
+        == "others"
+    )
+    assert param_label(("params", "mask_decoder", "layer_0", "q_proj")) == "others"
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    assert len(jax.devices()) == 8
+    ge.dryrun_multichip(8)
+
+
+def test_mesh_and_sharding_helpers():
+    from xmask3d_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    batch = {"x": np.zeros((8, 3), np.float32)}
+    out = shard_batch(batch, mesh)
+    assert out["x"].sharding.spec == jax.sharding.PartitionSpec("data")

@@ -1,0 +1,42 @@
+import numpy as np
+
+from xmask3d_tpu.engine.infer import (
+    SceneVoter,
+    evaluate_scene_predictions,
+    kdtree_fill,
+    summarize_iou,
+)
+
+
+def test_kdtree_fill():
+    coords = np.array([[0, 0, 0], [1, 0, 0], [10, 0, 0]], float)
+    values = np.array([7, 8, 0])
+    known = np.array([True, True, False])
+    out = kdtree_fill(coords, values, known)
+    assert out[2] == 8  # nearest known neighbor
+    np.testing.assert_array_equal(out[:2], [7, 8])
+
+
+def test_scene_voter():
+    v = SceneVoter(num_points=5, num_classes=3)
+    v.add_view(np.array([0, 1, 2]), np.array([0, 1, 2]))
+    v.add_view(np.array([0, 1]), np.array([0, 2]))
+    v.add_view(np.array([1]), np.array([2]))
+    coords = np.arange(15, dtype=float).reshape(5, 3)
+    pred = v.finalize(coords)
+    assert pred[0] == 0
+    assert pred[1] == 2
+    assert pred[2] == 2
+    # unseen points 3, 4 inherit nearest seen neighbor (point 2)
+    assert pred[3] == pred[2] and pred[4] == pred[2]
+
+
+def test_iou_summary():
+    pred = np.array([0, 0, 1, 1, 2, 2])
+    gt = np.array([0, 1, 1, 1, 2, 255])
+    acc = evaluate_scene_predictions(pred, gt, 3, [0, 1], [2], ignore=(255,))
+    s = summarize_iou(acc, base_category=[0, 1], novel_category=[2])
+    # class0: inter 1 union 2; class1: inter 2 union 3; class2: inter 1 union 1
+    assert abs(s["mIoU_base"] - (0.5 + 2 / 3) / 2) < 1e-6
+    assert abs(s["mIoU_novel"] - 1.0) < 1e-6
+    assert 0 < s["hIoU"] <= 1

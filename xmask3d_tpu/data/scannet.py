@@ -1,0 +1,331 @@
+"""ScanNet dataset loaders (host-side; emits padded ViewSamples).
+
+Capability parity with the reference dataset stack:
+- Point3DLoader basics (dataset/point_loader.py): glob `{split}/*.pth`
+  scenes, `loop` epoch-length multiplier, prevoxel ElasticDistortion +
+  voxelize + input transforms.
+- ScannetLoader (dataset/data_loader.py:15-316): per sample, load a scene,
+  apply ScanNet200 remap when configured, train-time novel-category masking
+  and label compaction, random-view sampling with the acceptance rule
+  `400 < #projected < 65000 and valid >= 10` (data_loader.py:194-202),
+  caption lookup by scene/view, 2D label remap, base/novel binary labels
+  (3D and 128x128 2D), 512x512 resize, voxelization.
+- ScannetLoaderFull (dataset/data_loader_infer.py): all accepted views of a
+  scene + full-scene coords/labels for multi-view-voting inference.
+
+Output is the static-shape ViewSample/batch contract of data/batching.py.
+torch is used only to read the .pth scene files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from glob import glob
+from os.path import basename, dirname, join
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from xmask3d_tpu.data.augmentation import (
+    ChromaticAutoContrast,
+    ChromaticJitter,
+    ChromaticTranslation,
+    Compose,
+    ElasticDistortion,
+    HueSaturationTranslation,
+    RandomHorizontalFlip,
+)
+from xmask3d_tpu.data.batching import Capacities, ViewSample, collate_views
+from xmask3d_tpu.data.projection import get_scannet_mapper
+from xmask3d_tpu.data.voxelizer import Voxelizer
+
+
+def _imread(path: str) -> np.ndarray:
+    import imageio.v2 as imageio
+
+    return np.asarray(imageio.imread(path))
+
+
+def _resize_nearest(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    h, w = img.shape[:2]
+    th, tw = size
+    yi = (np.arange(th) * h / th).astype(int)
+    xi = (np.arange(tw) * w / tw).astype(int)
+    return img[yi][:, xi]
+
+
+def _resize_bilinear(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    try:
+        import cv2
+
+        return cv2.resize(img, (size[1], size[0]))
+    except ImportError:
+        # fallback: nearest (synthetic/test environments without cv2)
+        return _resize_nearest(img, size)
+
+
+SCALE_AUGMENTATION_BOUND = (0.9, 1.1)
+ROTATION_AUGMENTATION_BOUND = (
+    (-np.pi / 64, np.pi / 64),
+    (-np.pi / 64, np.pi / 64),
+    (-np.pi, np.pi),
+)
+TRANSLATION_AUGMENTATION_RATIO_BOUND = ((-0.2, 0.2), (-0.2, 0.2), (0, 0))
+ELASTIC_DISTORT_PARAMS = ((0.2, 0.4), (0.8, 1.6))
+
+
+@dataclass
+class ScanNetConfig:
+    data_root: str
+    data_root_2d: str
+    caption_path: str
+    label_2d: Sequence[int]
+    base_category: Sequence[int]
+    novel_category: Sequence[int]
+    ignore_category: Sequence[int]
+    voxel_size: float = 0.02
+    split: str = "train"
+    aug: bool = False
+    loop: int = 1
+    input_color: bool = True
+    scannet200: bool = False
+    image_size: Tuple[int, int] = (512, 512)
+
+
+class ScanNetViews:
+    """Per-view sample pipeline (reference ScannetLoader equivalent)."""
+
+    def __init__(self, cfg: ScanNetConfig, caps: Capacities, tokenizer, seed: int = 0):
+        self.cfg = cfg
+        self.caps = caps
+        self.tokenizer = tokenizer
+        self.rng = np.random.RandomState(seed)
+        self.data_paths = sorted(glob(join(cfg.data_root, cfg.split, "*.pth")))
+        if not self.data_paths:
+            raise FileNotFoundError(
+                f"no scenes under {join(cfg.data_root, cfg.split)}"
+            )
+        self.mapper = get_scannet_mapper()
+        with open(cfg.caption_path) as f:
+            self.captions = json.load(f)
+
+        # id remaps (data_loader.py:56-73)
+        if cfg.split in ("val", "test"):
+            label_2d_id = list(cfg.label_2d)
+        else:
+            label_2d_id = [cfg.label_2d[c] for c in cfg.base_category]
+        self.map_2d = {v: i for i, v in enumerate(label_2d_id)}
+        self.map_all = {v: i for i, v in enumerate(cfg.label_2d)}
+
+        self.voxelizer = Voxelizer(
+            voxel_size=cfg.voxel_size,
+            clip_bound=None,
+            use_augmentation=cfg.aug,
+            scale_augmentation_bound=SCALE_AUGMENTATION_BOUND,
+            rotation_augmentation_bound=ROTATION_AUGMENTATION_BOUND,
+            translation_augmentation_ratio_bound=TRANSLATION_AUGMENTATION_RATIO_BOUND,
+            rng=self.rng,
+        )
+        self.prevoxel = (
+            Compose([ElasticDistortion(ELASTIC_DISTORT_PARAMS, rng=self.rng)])
+            if cfg.aug
+            else None
+        )
+        self.input_transforms = (
+            Compose(
+                [
+                    ChromaticAutoContrast(rng=self.rng),
+                    ChromaticTranslation(0.1, rng=self.rng),
+                    ChromaticJitter(0.05, rng=self.rng),
+                    HueSaturationTranslation(0.5, 0.2, rng=self.rng),
+                ]
+            )
+            if cfg.aug
+            else None
+        )
+
+    def __len__(self):
+        return len(self.data_paths) * self.cfg.loop
+
+    # ------------------------------------------------------------------ #
+    def _load_scene(self, index: int):
+        import torch
+
+        locs, feats, labels = torch.load(
+            self.data_paths[index], weights_only=False
+        )
+        locs = np.asarray(locs)
+        labels = np.asarray(labels)
+        if np.isscalar(feats) and feats == 0:
+            feats = np.zeros_like(locs)
+        else:
+            feats = (np.asarray(feats) + 1.0) * 127.5
+        cfg = self.cfg
+        if cfg.scannet200:
+            path = self.data_paths[index].replace("/scannet_3d/", "/scannet_3d_200/")
+            path = join(dirname(path), basename(self.data_paths[index])[:-15] + ".txt")
+            l200 = np.loadtxt(path)
+            l200[~np.isin(l200, list(cfg.label_2d))] = -1
+            l200 = np.vectorize(lambda v: self.map_all.get(v, v))(l200.astype(np.int64))
+            l200 = l200.astype(np.float64)
+            l200[l200 == -1] = cfg.ignore_category[-1]
+            labels = l200
+        labels = labels.copy()
+        labels[labels == -100] = cfg.ignore_category[-1]
+        labels[labels == 255] = cfg.ignore_category[-1]
+        return locs, feats, labels
+
+    def _scene_name(self, index: int) -> str:
+        p = self.data_paths[index]
+        return basename(p)[:-15] if "scannet_3d" in self.cfg.data_root else basename(p)[:-4]
+
+    def _view_dirs(self, scene_name: str) -> List[str]:
+        scene = join(self.cfg.data_root_2d, scene_name)
+        return sorted(
+            glob(join(scene, "color/*")), key=lambda x: int(basename(x)[:-4])
+        )
+
+    def _compact_train_labels(self, labels: np.ndarray) -> np.ndarray:
+        """Mask novel categories and compact ids (data_loader.py:121-131)."""
+        cfg = self.cfg
+        replace = list(cfg.novel_category) + [cfg.ignore_category[0]]
+        labels = labels.copy()
+        labels[np.isin(labels, replace)] = cfg.ignore_category[-1]
+        for i, r in enumerate(replace):
+            labels[labels > r - i] -= 1
+        return labels
+
+    def _load_view(
+        self, scene_name: str, img_dir: str, locs: np.ndarray
+    ) -> Optional[Dict]:
+        depth = _imread(
+            img_dir.replace("color", "depth").replace("jpg", "png")
+        ).astype(np.float64) / 1000.0
+        pose = np.loadtxt(img_dir.replace("color", "pose").replace(".jpg", ".txt"))
+        mapping = self.mapper.compute_mapping(pose, locs, depth)
+        visible = mapping[:, 2] == 1
+        nvis = visible.sum()
+        if not (400 < nvis < 65000):
+            return None
+        return {"mapping": mapping, "visible": visible, "img_dir": img_dir}
+
+    def _make_sample(
+        self, index: int, locs, feats, labels, view: Dict
+    ) -> Optional[ViewSample]:
+        cfg = self.cfg
+        visible = view["visible"]
+        img_dir = view["img_dir"]
+        mapping = view["mapping"][visible]
+
+        label_vis = labels[visible]
+        feats_vis = feats[visible]
+        locs_vis = locs[visible]
+
+        binary = label_vis.copy().astype(np.float64)
+        binary[np.isin(label_vis, list(cfg.base_category))] = 1
+        binary[np.isin(label_vis, list(cfg.novel_category))] = 0
+        valid_pts = (~np.isin(binary, list(cfg.ignore_category))).sum()
+        if valid_pts <= 10:
+            return None
+
+        train_labels = (
+            self._compact_train_labels(label_vis) if cfg.split == "train" else label_vis
+        )
+
+        img = _imread(img_dir).astype(np.float32)
+        img = _resize_bilinear(img, cfg.image_size)
+
+        scene_name = self._scene_name(index)
+        caption = self.captions.get(scene_name, {}).get(basename(img_dir)[:-4], "")
+        caption_tokens = self.tokenizer([caption])[0]
+
+        label_dir = "label_200" if cfg.scannet200 else "label"
+        label_2d = _imread(
+            img_dir.replace("color", label_dir).replace(".jpg", ".png")
+        ).astype(np.int64)
+
+        # binary 2D map at 128x128 (data_loader.py:219-236)
+        b2d = _resize_nearest(label_2d, (128, 128)).astype(np.float64)
+        b2d[~np.isin(b2d, list(cfg.label_2d))] = -1
+        b2d = np.vectorize(lambda v: self.map_all.get(v, v))(b2d.astype(np.int64))
+        b2d = b2d.astype(np.float64)
+        b2d[np.isin(b2d, list(cfg.base_category))] = 1
+        b2d[np.isin(b2d, list(cfg.novel_category))] = 0
+        b2d[b2d == -1] = 20
+
+        l2d = label_2d.copy()
+        l2d[~np.isin(l2d, list(self.map_2d.keys()))] = -1
+        l2d = np.vectorize(lambda v: self.map_2d.get(v, v))(l2d)
+        if cfg.split == "train":
+            l2d[l2d == -1] = len(cfg.base_category)
+        l2d = _resize_nearest(l2d, cfg.image_size)
+
+        pts = self.prevoxel(locs_vis)[0] if self.prevoxel else locs_vis
+        coords, vfeats, _, inds_rec = self.voxelizer.voxelize(
+            pts, feats_vis, label_vis
+        )
+        if self.input_transforms:
+            coords, vfeats, _ = self.input_transforms(coords, vfeats, train_labels)
+        if cfg.input_color:
+            vfeats = vfeats[:, :3] / 127.5 - 1.0
+        else:
+            vfeats = np.ones((len(coords), 3), np.float32)
+
+        return ViewSample(
+            voxel_coords=coords,
+            voxel_feats=vfeats.astype(np.float32),
+            inds_reconstruct=inds_rec,
+            labels_3d=train_labels.astype(np.int64),
+            binary_label_3d=binary.astype(np.float32),
+            x_label=mapping[:, 0].astype(np.int64),
+            y_label=mapping[:, 1].astype(np.int64),
+            img=img,
+            label_2d=l2d.astype(np.int64),
+            binary_label_2d=b2d.astype(np.float32),
+            caption_tokens=caption_tokens,
+        )
+
+    def get(self, index_long: int) -> ViewSample:
+        """Random accepted view of scene index_long % len (train contract)."""
+        index = index_long % len(self.data_paths)
+        locs, feats, labels = self._load_scene(index)
+        dirs = self._view_dirs(self._scene_name(index))
+        for _ in range(100):
+            img_dir = dirs[self.rng.randint(len(dirs))]
+            view = self._load_view(self._scene_name(index), img_dir, locs)
+            if view is None:
+                continue
+            sample = self._make_sample(index, locs, feats, labels, view)
+            if sample is not None:
+                return sample
+        raise RuntimeError(f"no acceptable view for scene {index}")
+
+    def batch(self, indices: Sequence[int]) -> Dict:
+        samples = [self.get(i) for i in indices]
+        return collate_views(samples, self.caps, num_base=len(self.cfg.base_category))
+
+
+class ScanNetSceneViews(ScanNetViews):
+    """All accepted views of one scene + full-scene GT, for inference
+    (reference ScannetLoaderFull, data_loader_infer.py:17-356)."""
+
+    def scene(self, index: int):
+        locs, feats, labels = self._load_scene(index)
+        name = self._scene_name(index)
+        views = []
+        for img_dir in self._view_dirs(name):
+            view = self._load_view(name, img_dir, locs)
+            if view is None:
+                continue
+            sample = self._make_sample(index, locs, feats, labels, view)
+            if sample is None:
+                continue
+            views.append({"sample": sample, "visible": view["visible"]})
+        return {
+            "name": name,
+            "coords": locs,
+            "labels": labels,
+            "views": views,
+        }

@@ -1,0 +1,126 @@
+"""Model + statics construction (the reference's XMASK3d.__init__ plus the
+CategoryEmbed text-bank precompute, odise.py:623-626 / 666-673).
+
+`statics` are frozen host-precomputed constants fed to every forward:
+  text_embed_train: (L_train, 768) CLIP text bank of train label names
+  text_embed_test:  (L_test, 768) bank of all label names
+  uncond_tokens:    (1, T) tokenized ""
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmask3d_tpu.config import Config
+from xmask3d_tpu.data.batching import Capacities
+from xmask3d_tpu.data.tokenizer import build_tokenizer
+from xmask3d_tpu.models.clip import CLIP_CONFIGS
+from xmask3d_tpu.models.ldm_extractor import LDM_SD_V1, LDM_TINY
+from xmask3d_tpu.models.xmask3d import XMask3D, XMask3DConfig
+
+
+def model_config_from_cfg(cfg: Config, tiny: bool = False) -> XMask3DConfig:
+    ldm = LDM_TINY if tiny else LDM_SD_V1
+    clip_name = "ViT-tiny" if tiny else cfg.get("clip_name", "ViT-L-14")
+    dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
+    return XMask3DConfig(
+        num_classes=cfg.classes,
+        num_test_classes=cfg.test_classes,
+        num_queries=cfg.num_queries,
+        arch_3d=cfg.arch_3d,
+        arch_binary_head=cfg.arch_binary_head,
+        mask_shape=tuple(cfg.mask_shape),
+        clip_name=clip_name,
+        ldm=ldm,
+        base_category=tuple(cfg.category_split.base_category),
+        novel_category=tuple(cfg.category_split.novel_category),
+        ignore_category=tuple(cfg.category_split.ignore_category),
+        ignore_label=cfg.ignore_label,
+        data_ratio=cfg.data_ratio,
+        binary_2d_thresh=cfg.binary_2d_thresh,
+        scores_keep_thresh=cfg.scores_keep_thresh,
+        caption_contra=cfg.caption_contra,
+        caption_contra_2d_pre=cfg.caption_contra_2d_pre,
+        caption_contra_3d=cfg.caption_contra_3d,
+        mask_contra_3d=cfg.mask_contra_3d,
+        loss_weight=dict(cfg.loss_weight),
+        dtype=dtype,
+    )
+
+
+def capacities_from_cfg(cfg: Config) -> Capacities:
+    return Capacities(
+        max_points=cfg.get("max_points", 65536),
+        max_voxels=cfg.get("max_voxels", 49152),
+        max_targets=cfg.get("max_targets", 24),
+    )
+
+
+def build_statics(
+    model: XMask3D,
+    params,
+    cfg: Config,
+    tokenizer=None,
+) -> Dict[str, jnp.ndarray]:
+    """Precompute the frozen CLIP text banks + uncond tokens on host."""
+    mc = model.cfg
+    text_cfg = CLIP_CONFIGS[mc.clip_name][0]
+    if tokenizer is None:
+        tokenizer = build_tokenizer(
+            cfg.get("clip_bpe_vocab", ""),
+            vocab_size=text_cfg.vocab_size,
+            context_length=text_cfg.context_length,
+        )
+
+    def embed(texts: List[str]) -> jnp.ndarray:
+        toks = jnp.asarray(tokenizer(texts))
+        return model.apply(params, toks, method=lambda m, t: m.embed_captions(t))
+
+    train_labels = list(cfg.label)
+    test_labels = list(cfg.all_label)
+    return {
+        "text_embed_train": embed(train_labels),
+        "text_embed_test": embed(test_labels),
+        "uncond_tokens": jnp.asarray(tokenizer([""])),
+    }
+
+
+def zero_statics(model: XMask3D, cfg: Config) -> Dict[str, jnp.ndarray]:
+    """Shape-only statics for init/tracing (before params exist)."""
+    mc = model.cfg
+    text_cfg = CLIP_CONFIGS[mc.clip_name][0]
+    return {
+        "text_embed_train": jnp.zeros((cfg.classes, mc.projection_dim)),
+        "text_embed_test": jnp.zeros((cfg.test_classes, mc.projection_dim)),
+        "uncond_tokens": jnp.zeros((1, text_cfg.context_length), jnp.int32),
+    }
+
+
+def init_model(
+    cfg: Config, batch, tiny: bool = False, seed: int = 0
+) -> Tuple[XMask3D, Any, Dict[str, jnp.ndarray]]:
+    """Build model, init variables on the given example batch, compute
+    statics. Returns (model, variables, statics)."""
+    mc = model_config_from_cfg(cfg, tiny=tiny)
+    model = XMask3D(cfg=mc)
+    statics0 = zero_statics(model, cfg)
+    rngs = {
+        "params": jax.random.PRNGKey(seed),
+        "points": jax.random.PRNGKey(seed + 1),
+    }
+    # init on the train path: it exercises every submodule (incl. the CLIP
+    # text tower used for captions/statics), so all params are created.
+    # jit the init: eager init dispatches thousands of tiny host ops.
+    init_fn = jax.jit(partial(model.init, train=True))
+    variables = init_fn(rngs, batch, statics0)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    statics = build_statics(model, variables, cfg)
+    return model, variables, statics

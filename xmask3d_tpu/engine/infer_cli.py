@@ -1,0 +1,173 @@
+"""Whole-scene inference entry point (reference run/infer.sh -> run/infer.py).
+
+Per scene: iterate all accepted views, run the jit eval forward + on-device
+ensemble/routing, accumulate per-point votes on host, KD-tree fill, report
+hIoU / mIoU_base / mIoU_novel (reference infer.py:338-790).
+
+TPU-first difference: the whole per-view compute (model + ensemble +
+routing + argmax) is ONE jit program; only the integer vote scatter and the
+KD-tree fill run on host.
+
+CLI: python -m xmask3d_tpu.engine.infer_cli --config ... [KEY VALUE ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmask3d_tpu.config import load_config
+from xmask3d_tpu.data.batching import collate_views
+from xmask3d_tpu.engine.builder import capacities_from_cfg, init_model
+from xmask3d_tpu.engine.infer import (
+    SceneVoter,
+    ensemble_and_route,
+    evaluate_scene_predictions,
+    summarize_iou,
+)
+from xmask3d_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def get_parser():
+    p = argparse.ArgumentParser("xmask3d_tpu inference")
+    p.add_argument("--config", required=True)
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model variant (CPU smoke runs)")
+    p.add_argument("--num_scenes", type=int, default=0)
+    p.add_argument("opts", nargs="*")
+    return p
+
+
+def make_infer_step(model, cfg):
+    mc = model.cfg
+
+    @jax.jit
+    def infer_step(variables, batch, statics):
+        _, outputs = model.apply(
+            variables, batch, statics, train=False,
+            rngs={"points": jax.random.PRNGKey(0)},
+        )
+        preds = ensemble_and_route(
+            outputs,
+            base_category=mc.base_category,
+            novel_category=mc.novel_category,
+            num_test_classes=mc.num_test_classes,
+            base_ratio=cfg.base_ratio,
+            novel_ratio=cfg.novel_ratio,
+        )
+        return preds
+
+    return infer_step
+
+
+def run_scene(scene, infer_step, variables, statics, caps, num_base, num_classes):
+    """Multi-view voting over one scene dict from ScanNetSceneViews.scene."""
+    n_pts = len(scene["coords"])
+    voter = SceneVoter(n_pts, num_classes)
+    for view in scene["views"]:
+        batch = collate_views([view["sample"]], caps, num_base=num_base)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        preds = infer_step(variables, batch, statics)
+        pred = np.asarray(preds["pred"])[0]
+        pv = np.asarray(batch["point_valid"])[0]
+        point_ids = np.where(view["visible"])[0][: pv.sum()]
+        voter.add_view(point_ids, pred[: len(point_ids)])
+    return voter.finalize(scene["coords"])
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    cfg = load_config(args.config, args.opts)
+    caps = capacities_from_cfg(cfg)
+
+    if args.synthetic:
+        from xmask3d_tpu.data.synthetic import synthetic_batch
+
+        kw = {}
+        if args.tiny:
+            kw = dict(num_points=400, image_size=(64, 64),
+                      mask_shape=tuple(cfg.mask_shape), context_length=16,
+                      vocab_size=512)
+        batch0 = synthetic_batch(1, caps, seed=0, num_classes=cfg.classes, **kw)
+        batch0 = jax.tree_util.tree_map(jnp.asarray, batch0)
+        model, variables, statics = init_model(cfg, batch0, tiny=args.tiny)
+        infer_step = make_infer_step(model, cfg)
+        preds = infer_step(variables, batch0, statics)
+        logger.info(f"synthetic inference ok: pred shape {preds['pred'].shape}")
+        return
+
+    from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetSceneViews
+    from xmask3d_tpu.data.tokenizer import build_tokenizer
+
+    ds_cfg = ScanNetConfig(
+        data_root=cfg.data_root,
+        data_root_2d=cfg.data_root_2d,
+        caption_path=cfg.caption_path,
+        label_2d=cfg.label_2d,
+        base_category=cfg.category_split.base_category,
+        novel_category=cfg.category_split.novel_category,
+        ignore_category=cfg.category_split.ignore_category,
+        voxel_size=cfg.voxel_size,
+        split="val",
+        scannet200=cfg.scannet200,
+    )
+    tok = build_tokenizer(cfg.get("clip_bpe_vocab", ""))
+    ds = ScanNetSceneViews(ds_cfg, caps, tok)
+
+    n = args.num_scenes or len(ds.data_paths)
+    scene0 = ds.scene(0)
+    batch0 = collate_views(
+        [scene0["views"][0]["sample"]], caps, num_base=len(ds_cfg.base_category)
+    )
+    batch0 = jax.tree_util.tree_map(jnp.asarray, batch0)
+    model, variables, statics = init_model(cfg, batch0)
+    if args.ckpt:
+        from xmask3d_tpu.checkpoint.orbax_io import Checkpointer
+        from xmask3d_tpu.engine.train_step import (
+            create_train_state,
+            make_optimizer,
+        )
+
+        opt = make_optimizer(cfg.lr_3d, cfg.lr_others, 1)
+        state = create_train_state(model, variables, opt)
+        state, _ = Checkpointer(args.ckpt).restore(state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    infer_step = make_infer_step(model, cfg)
+    acc = {"inter": 0, "union": 0, "target": 0}
+    t0 = time.time()
+    for i in range(n):
+        scene = ds.scene(i) if i else scene0
+        pred = run_scene(
+            scene, infer_step, variables, statics, caps,
+            len(ds_cfg.base_category), cfg.test_classes,
+        )
+        m = evaluate_scene_predictions(
+            pred, scene["labels"].astype(np.int64), cfg.test_classes,
+            cfg.category_split.base_category, cfg.category_split.novel_category,
+            ignore=tuple(cfg.test_ignore_label) + (255,),
+        )
+        for k in acc:
+            acc[k] = acc[k] + m[k]
+        logger.info(f"scene {scene['name']} done ({len(scene['views'])} views)")
+    dt = time.time() - t0
+    summary = summarize_iou(
+        acc, cfg.category_split.base_category, cfg.category_split.novel_category
+    )
+    summary["scenes_per_sec"] = n / dt
+    logger.info(str(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

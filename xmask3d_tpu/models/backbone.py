@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xmask3d_tpu.models.layers import group_norm
+
 from xmask3d_tpu.models.ldm_extractor import LdmConfig, LdmImplicitCaptionerExtractor
 
 
@@ -36,22 +38,22 @@ class BottleneckBlock(nn.Module):
             self.bottleneck_channels, (1, 1), use_bias=False, dtype=self.dtype,
             name="conv1",
         )(x)
-        y = nn.relu(nn.GroupNorm(32, dtype=self.dtype, name="norm1")(y))
+        y = nn.relu(group_norm(y.shape[-1], self.dtype, "norm1")(y))
         y = nn.Conv(
             self.bottleneck_channels, (3, 3), padding=1, use_bias=False,
             dtype=self.dtype, name="conv2",
         )(y)
-        y = nn.relu(nn.GroupNorm(32, dtype=self.dtype, name="norm2")(y))
+        y = nn.relu(group_norm(y.shape[-1], self.dtype, "norm2")(y))
         y = nn.Conv(
             self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
         )(y)
-        y = nn.GroupNorm(32, dtype=self.dtype, name="norm3")(y)
+        y = group_norm(y.shape[-1], self.dtype, "norm3")(y)
         if x.shape[-1] != self.out_channels:
             sc = nn.Conv(
                 self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
                 name="shortcut",
             )(x)
-            sc = nn.GroupNorm(32, dtype=self.dtype, name="shortcut_norm")(sc)
+            sc = group_norm(sc.shape[-1], self.dtype, "shortcut_norm")(sc)
         else:
             sc = x
         return nn.relu(y + sc)

@@ -47,10 +47,11 @@ class CLIPVisionConfig:
 
 VIT_L_14 = (CLIPTextConfig(), CLIPVisionConfig())
 VIT_L_14_336 = (CLIPTextConfig(), CLIPVisionConfig(image_size=336))
-# tiny configs for tests
+# tiny configs for tests; embed_dim stays 768 because the whole pipeline's
+# joint text/mask embedding space is 768-d (projection_dim)
 VIT_TINY = (
-    CLIPTextConfig(vocab_size=512, context_length=16, width=32, layers=2, heads=2, embed_dim=24),
-    CLIPVisionConfig(image_size=32, patch_size=8, width=32, layers=2, heads=2, embed_dim=24),
+    CLIPTextConfig(vocab_size=512, context_length=16, width=32, layers=2, heads=2, embed_dim=768),
+    CLIPVisionConfig(image_size=32, patch_size=8, width=32, layers=2, heads=2, embed_dim=768),
 )
 
 CLIP_CONFIGS = {

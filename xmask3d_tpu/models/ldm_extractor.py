@@ -72,9 +72,6 @@ LDM_TINY = LdmConfig(
     text=CLIPTextConfig(
         vocab_size=512, context_length=16, width=24, layers=2, heads=2, embed_dim=24
     ),
-    encoder_block_indices=(0, 1),
-    unet_block_indices=(0, 1, 2, 3),
-    decoder_block_indices=(0, 2),
 )
 
 

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from xmask3d_tpu.models.layers import group_norm
+
 from xmask3d_tpu.ops.deform_attn import ms_deform_attn
 
 
@@ -135,7 +137,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         for i, name in enumerate(names):
             x = features[name]
             x = nn.Conv(self.conv_dim, (1, 1), dtype=self.dtype, name=f"input_proj_{i}")(x)
-            x = nn.GroupNorm(32, dtype=self.dtype, name=f"input_norm_{i}")(x)
+            x = group_norm(x.shape[-1], self.dtype, f"input_norm_{i}")(x)
             b, hh, ww, c = x.shape
             pos = jnp.asarray(
                 position_embedding_sine(hh, ww, self.conv_dim // 2), self.dtype
@@ -186,7 +188,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         lateral = nn.Conv(
             self.conv_dim, (1, 1), use_bias=False, dtype=self.dtype, name="adapter_1"
         )(x2)
-        lateral = nn.GroupNorm(32, dtype=self.dtype, name="adapter_norm_1")(lateral)
+        lateral = group_norm(lateral.shape[-1], self.dtype, "adapter_norm_1")(lateral)
         up = jax.image.resize(
             outs[-1],
             (b, x2.shape[1], x2.shape[2], self.conv_dim),
@@ -197,7 +199,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             self.conv_dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
             name="layer_1",
         )(y)
-        y = nn.GroupNorm(32, dtype=self.dtype, name="layer_norm_1")(y)
+        y = group_norm(y.shape[-1], self.dtype, "layer_norm_1")(y)
         y = nn.relu(y)
 
         mask_features = nn.Conv(

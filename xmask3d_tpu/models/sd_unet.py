@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xmask3d_tpu.models.layers import group_norm
+
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
@@ -37,8 +39,8 @@ class UNetConfig:
 
 
 UNET_TINY = UNetConfig(
-    model_channels=32, ch_mult=(1, 2), num_res_blocks=1,
-    attention_levels=(0, 1), num_heads=2, context_dim=24,
+    model_channels=32, ch_mult=(1, 1, 2, 2), num_res_blocks=2,
+    attention_levels=(0, 1, 2), num_heads=2, context_dim=24,
 )
 
 
@@ -56,12 +58,12 @@ class UNetResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
-        h = nn.GroupNorm(32, dtype=self.dtype, name="in_norm")(x)
+        h = group_norm(x.shape[-1], self.dtype, "in_norm")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
         e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
-        h = nn.GroupNorm(32, dtype=self.dtype, name="out_norm")(h)
+        h = group_norm(h.shape[-1], self.dtype, "out_norm")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="out_conv")(h)
         if x.shape[-1] != self.out_ch:
@@ -132,7 +134,7 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         b, h, w, c = x.shape
-        y = nn.GroupNorm(32, dtype=self.dtype, name="norm")(x)
+        y = group_norm(x.shape[-1], self.dtype, "norm")(x)
         y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, c)
         y = BasicTransformerBlock(self.heads, dtype=self.dtype, name="block_0")(
@@ -223,7 +225,7 @@ class SDUNet(nn.Module):
                     )(h)
                 out_idx += 1
 
-        h = nn.GroupNorm(32, dtype=self.dtype, name="out_norm")(h)
+        h = group_norm(h.shape[-1], self.dtype, "out_norm")(h)
         h = nn.silu(h)
         eps = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="out_conv"

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xmask3d_tpu.models.layers import group_norm
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
@@ -32,7 +34,9 @@ class VAEConfig:
     scale_factor: float = 0.18215
 
 
-VAE_TINY = VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1)
+# tiny config keeps SD's stride topology (same tap indices/strides) with
+# small channel counts, so the backbone emits the full s2..s5 pyramid
+VAE_TINY = VAEConfig(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=2)
 
 
 class ResnetBlock(nn.Module):
@@ -41,10 +45,10 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(32, dtype=self.dtype, name="norm1")(x)
+        h = group_norm(x.shape[-1], self.dtype, "norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(32, dtype=self.dtype, name="norm2")(h)
+        h = group_norm(h.shape[-1], self.dtype, "norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
@@ -60,7 +64,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        y = nn.GroupNorm(32, dtype=self.dtype, name="norm")(x)
+        y = group_norm(x.shape[-1], self.dtype, "norm")(x)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, h * w, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, h * w, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, h * w, c)
@@ -127,7 +131,7 @@ class VAEEncoder(nn.Module):
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
-        h = nn.GroupNorm(32, dtype=self.dtype, name="norm_out")(h)
+        h = group_norm(h.shape[-1], self.dtype, "norm_out")(h)
         h = h * jax.nn.sigmoid(h)  # swish, as written in the LDM encoder tail
         h = nn.Conv(
             2 * c.z_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
@@ -165,7 +169,7 @@ class VAEDecoder(nn.Module):
                 flat_idx += 1
             if i_level != 0:
                 h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
-        h = nn.GroupNorm(32, dtype=self.dtype, name="norm_out")(h)
+        h = group_norm(h.shape[-1], self.dtype, "norm_out")(h)
         h = h * jax.nn.sigmoid(h)
         h = nn.Conv(3, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         return h, taps

@@ -1,0 +1,468 @@
+"""XMask3D top-level model, TPU-native.
+
+Capability parity with the reference models/xmask3d.py:28-489 (XMASK3d):
+3D sparse UNet branches + SD-UNet feature backbone + Mask2Former head +
+CLIP-space open-vocabulary classification + 2D->3D fusion, with the training
+loss stack and the eval-time binary-routed mask painting.
+
+Design differences (TPU-first):
+- All per-scene / per-mask Python loops (reference xmask3d.py:154-159,
+  189-224, 341-479; criterion.py:260-328) are batched masked ops with
+  static shapes; one jit compiles the whole step.
+- Targets are derived on device from `label_2d == target_labels[t]` instead
+  of host-materialized mask stacks (xmask3d.py:189-224).
+- The CLIP text banks are precomputed host-side once (they are frozen) and
+  passed in as constants (`statics`), mirroring CategoryEmbed's cached bank
+  (odise.py:666-673).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xmask3d_tpu.losses import criterion as L
+from xmask3d_tpu.losses.fuser import (
+    FeatureMerger,
+    masked_mean,
+    paint_and_fuse,
+    panoptic_mask_filter,
+    project_masks_to_points,
+)
+from xmask3d_tpu.losses.matcher import hungarian_match
+from xmask3d_tpu.models.backbone import FeatureExtractorBackbone
+from xmask3d_tpu.models.clip import CLIP, CLIP_CONFIGS, build_clip
+from xmask3d_tpu.models.ldm_extractor import LDM_SD_V1, LDM_TINY, LdmConfig
+from xmask3d_tpu.models.mask_decoder import CategoryEmbed, ODISEMaskedTransformerDecoder
+from xmask3d_tpu.models.minkunet import mink_unet
+from xmask3d_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+
+
+@dataclasses.dataclass(frozen=True)
+class XMask3DConfig:
+    num_classes: int = 15  # train (base) classes
+    num_test_classes: int = 19
+    num_queries: int = 50
+    arch_3d: str = "MinkUNet34C"
+    arch_binary_head: str = "MinkUNet18A"
+    mask_shape: Tuple[int, int] = (240, 320)
+    clip_name: str = "ViT-L-14"
+    ldm: LdmConfig = LDM_SD_V1
+    projection_dim: int = 768
+    base_category: Sequence[int] = (0, 1, 2, 3, 4, 6, 7, 8, 10, 11, 13, 14, 15, 17, 18)
+    novel_category: Sequence[int] = (5, 9, 12, 16)
+    ignore_category: Sequence[int] = (19, 20)
+    ignore_label: int = 15
+    data_ratio: float = 0.267
+    binary_2d_thresh: float = 0.5
+    scores_keep_thresh: float = 0.0
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    eos_coef: float = 0.1
+    class_weight: float = 2.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    dec_layers: int = 9
+    caption_contra: bool = True
+    caption_contra_2d_pre: bool = True
+    caption_contra_3d: bool = True
+    mask_contra_3d: bool = True
+    loss_weight: Any = None  # dict-like; see configs/scannet/*.yaml
+    dtype: Any = jnp.float32
+
+
+TINY_TEST_CONFIG = XMask3DConfig(
+    arch_3d="MinkUNet14A",
+    arch_binary_head="MinkUNet14A",
+    clip_name="ViT-tiny",
+    ldm=LDM_TINY,
+    mask_shape=(24, 32),
+    num_points=64,
+)
+
+
+def cal_pred_logits(
+    mask_embed: jnp.ndarray,  # (B, Q, C)
+    text_embed: jnp.ndarray,  # (L, C)
+    null_embed: jnp.ndarray,  # (1, C)
+    logit_scale: jnp.ndarray,
+) -> jnp.ndarray:
+    """CLIP-space class logits + null column (reference xmask3d.py:129-143).
+
+    Label synonym groups in all shipped configs are singletons, so the
+    max-ensemble (helper.py:72-97) reduces to identity.
+    """
+    me = mask_embed / (jnp.linalg.norm(mask_embed, axis=-1, keepdims=True) + 1e-8)
+    te = text_embed / (jnp.linalg.norm(text_embed, axis=-1, keepdims=True) + 1e-8)
+    ne = null_embed / (jnp.linalg.norm(null_embed, axis=-1, keepdims=True) + 1e-8)
+    pred = logit_scale * jnp.einsum(
+        "bqc,lc->bql", me, te, preferred_element_type=jnp.float32
+    )
+    null = logit_scale * jnp.einsum(
+        "bqc,lc->bql", me, ne, preferred_element_type=jnp.float32
+    )
+    return jnp.concatenate([pred, null], axis=-1)
+
+
+class PCProcessor(nn.Module):
+    """MinkUNet + text-space adapters (reference pc_processor.py:6-34)."""
+
+    arch: str = "MinkUNet34C"
+    proj_dim: int = 768
+    last_dim: int = 256
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, hierarchy, train: bool):
+        unet = mink_unet(
+            out_channels=self.last_dim, arch=self.arch,
+            axis_name=self.axis_name, dtype=self.dtype,
+        )
+        bottleneck, out = unet(feats, hierarchy, train)
+        implicit = nn.Dense(self.proj_dim, dtype=self.dtype, name="point2text_adapter")(
+            bottleneck
+        )
+        pred = nn.Dense(self.proj_dim, dtype=self.dtype, name="decoder")(out)
+        return implicit, pred
+
+
+class PCBinaryProcessor(nn.Module):
+    """MinkUNet -> BN -> ReLU -> Linear(1) base/novel head
+    (reference pc_processor.py:37-60)."""
+
+    arch: str = "MinkUNet18A"
+    last_dim: int = 256
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, hierarchy, train: bool):
+        from xmask3d_tpu.models.minkunet import MaskedBatchNorm
+
+        unet = mink_unet(
+            out_channels=self.last_dim, arch=self.arch,
+            axis_name=self.axis_name, dtype=self.dtype,
+        )
+        _, out = unet(feats, hierarchy, train)
+        valid = hierarchy.levels[0].valid
+        out = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="bn")(
+            out, valid, train
+        )
+        out = nn.relu(out)
+        return nn.Dense(1, dtype=self.dtype, name="fc")(out)
+
+
+class XMask3D(nn.Module):
+    """The full pipeline. `statics` carries frozen host-precomputed
+    constants: text banks + uncond tokens (see build_statics in
+    engine/builder.py)."""
+
+    cfg: XMask3DConfig = XMask3DConfig()
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        c = self.cfg
+        dt = c.dtype
+        self.pc_decoder = PCProcessor(
+            arch=c.arch_3d, axis_name=self.axis_name, dtype=dt
+        )
+        self.pc_binary_head = PCBinaryProcessor(
+            arch=c.arch_binary_head, axis_name=self.axis_name, dtype=dt
+        )
+        self.backbone = FeatureExtractorBackbone(ldm_cfg=c.ldm, dtype=dt)
+        self.pixel_decoder = MSDeformAttnPixelDecoder(dtype=dt)
+        self.mask_decoder = ODISEMaskedTransformerDecoder(
+            num_classes=c.num_classes,
+            num_queries=c.num_queries,
+            dec_layers=c.dec_layers,
+            projection_dim=c.projection_dim,
+            dtype=dt,
+        )
+        self.category_embed = CategoryEmbed(embed_dim=c.projection_dim, dtype=dt)
+        self.clip = build_clip(c.clip_name, dtype=dt)
+        self.fuser = FeatureMerger(feature_dim=c.projection_dim, dtype=dt)
+
+    # ------------------------------------------------------------------ #
+    # shared trunk
+    # ------------------------------------------------------------------ #
+    def _trunk(self, batch: Dict[str, jnp.ndarray], statics, train: bool):
+        c = self.cfg
+        h = batch["hierarchy"]
+        implicit, pred_3d_vox = self.pc_decoder(batch["voxel_feats"], h, train)
+        # per-scene masked max over bottleneck voxels (xmask3d.py:153-159)
+        neg = jnp.finfo(implicit.dtype).min
+        bneck_valid = h.levels[-1].valid
+        imp_condition = jnp.max(
+            jnp.where(bneck_valid[..., None], implicit, neg), axis=1
+        )
+        # per-point features via inds_reconstruct (xmask3d.py:152)
+        pred_3d = jnp.take_along_axis(
+            pred_3d_vox, batch["inds_reconstruct"][..., None], axis=1
+        )
+        binary_vox = self.pc_binary_head(batch["voxel_feats"], h, train)
+        binary_scores = jnp.take_along_axis(
+            binary_vox, batch["inds_reconstruct"][..., None], axis=1
+        )[..., 0]
+
+        img01 = batch["img"] / 255.0
+        feats = self.backbone(img01, imp_condition, statics["uncond_tokens"])
+        mask_features, ms_feats = self.pixel_decoder(feats)
+        outputs = self.mask_decoder(ms_feats, mask_features)
+        outputs["pred_3d"] = pred_3d
+        outputs["binary_scores"] = binary_scores
+        outputs["images"] = img01
+        return outputs
+
+    def _clip_mask_embed(self, img01, pred_masks):
+        """MaskCLIP open-vocabulary mask embeddings (criterion.py:232-236)."""
+        s = self.clip.vision_cfg.image_size
+        b = img01.shape[0]
+        img = jax.image.resize(img01, (b, s, s, img01.shape[-1]), "bilinear")
+        q = pred_masks.shape[1]
+        masks = jax.image.resize(pred_masks, (b, q, s, s), "bilinear")
+        return self.clip.encode_image_with_mask(img, masks)
+
+    def embed_captions(self, tokens):
+        emb, _ = self.clip.embed_text(tokens)
+        return emb
+
+    # ------------------------------------------------------------------ #
+    # train forward
+    # ------------------------------------------------------------------ #
+    def __call__(self, batch, statics, train: bool = False):
+        if train:
+            return self.train_forward(batch, statics)
+        return None, self.eval_forward(batch, statics)
+
+    def train_forward(self, batch, statics):
+        c = self.cfg
+        outputs = self._trunk(batch, statics, train=True)
+        caption_embed = self.embed_captions(batch["caption_tokens"])
+
+        cat = self.category_embed(statics["text_embed_train"])
+        text_embed, null_embed = cat["text_embed"], cat["null_embed"]
+        logit_scale = outputs["logit_scale"]
+        outputs["pred_logits"] = cal_pred_logits(
+            outputs["mask_embed"], text_embed, null_embed, logit_scale
+        )
+        for aux in outputs["aux_outputs"]:
+            aux["pred_logits"] = cal_pred_logits(
+                aux["mask_embed"], text_embed, null_embed, aux["logit_scale"]
+            )
+
+        # targets from label_2d (device-side masks; xmask3d.py:189-224)
+        tl = batch["target_labels"]  # (B, T)
+        tv = batch["target_valid"]
+        target_masks = (
+            batch["label_2d"][:, None] == tl[:, :, None, None]
+        ).astype(jnp.float32)
+        target_masks = target_masks * tv[:, :, None, None]
+
+        num_masks = tv.sum().astype(jnp.float32)
+        if self.axis_name is not None:
+            num_masks = jax.lax.pmean(num_masks, self.axis_name)
+        num_masks = jnp.maximum(num_masks, 1.0)
+
+        losses: Dict[str, jnp.ndarray] = {}
+        rng = self.make_rng("points")
+        n_layers = len(outputs["aux_outputs"]) + 1
+
+        # stack final + aux predictions and vmap the matcher/mask losses over
+        # the layer axis: ONE compiled subgraph instead of 10 (reference
+        # criterion.py:366-374 loops aux layers; here compile-time-constant)
+        all_logits = jnp.stack(
+            [outputs["pred_logits"]] + [a["pred_logits"] for a in outputs["aux_outputs"]]
+        )
+        all_masks = jnp.stack(
+            [outputs["pred_masks"]] + [a["pred_masks"] for a in outputs["aux_outputs"]]
+        )
+        keys = jax.random.split(rng, 2 * n_layers)
+        keys_a, keys_b = keys[0::2], keys[1::2]
+
+        def layer_losses(ka, kb, logits_l, masks_l):
+            match = hungarian_match(
+                ka, logits_l, masks_l, tl, target_masks, tv,
+                num_points=c.num_points, cost_class=c.class_weight,
+                cost_mask=c.mask_weight, cost_dice=c.dice_weight,
+            )
+            l_ce = L.loss_labels(logits_l, tl, tv, match, eos_coef=c.eos_coef)
+            l_m, l_d = L.loss_masks(
+                kb, masks_l, target_masks, tv, match, num_masks,
+                num_points=c.num_points, oversample_ratio=c.oversample_ratio,
+                importance_sample_ratio=c.importance_sample_ratio,
+            )
+            return l_ce, l_m, l_d
+
+        l_ce, l_m, l_d = jax.vmap(layer_losses)(keys_a, keys_b, all_logits, all_masks)
+        losses["loss_ce"] = l_ce[0]
+        losses["loss_mask"] = l_m[0]
+        losses["loss_dice"] = l_d[0]
+        for i in range(n_layers - 1):
+            losses[f"loss_ce_{i}"] = l_ce[i + 1]
+            losses[f"loss_mask_{i}"] = l_m[i + 1]
+            losses[f"loss_dice_{i}"] = l_d[i + 1]
+
+        # MaskCLIP embeddings of predicted masks
+        clip_mask_embed = self._clip_mask_embed(outputs["images"], outputs["pred_masks"])
+        outputs["mask_embed_clip"] = clip_mask_embed
+
+        # interpolate masks to mask_shape (criterion.py:239-244)
+        mh, mw = c.mask_shape
+        b, q = outputs["pred_masks"].shape[:2]
+        masks_mshape = jax.image.resize(
+            outputs["pred_masks"], (b, q, mh, mw), "bilinear"
+        )
+
+        # panoptic-style per-scene filtering (criterion.py:260-328); in train
+        # keep = softmax score > 0, i.e. all queries enter the claim argmax
+        probs = jax.nn.softmax(outputs["pred_logits"].astype(jnp.float32), -1)
+        scores = probs.max(-1)
+        keep = scores > 0
+        final_masks, final_valid = panoptic_mask_filter(scores, masks_mshape, keep)
+
+        # project to points and fuse (fuser.py:6-53)
+        pv = batch["point_valid"]
+        mask_3d = (
+            project_masks_to_points(final_masks, batch["x_label"], batch["y_label"])
+            > 0.5
+        )
+        fused_out = paint_and_fuse(
+            mask_3d, final_valid, outputs["mask_embed"], outputs["pred_3d"], pv,
+            self.fuser,
+        )
+        outputs["fused_pred_feature"] = fused_out["fused"]
+        outputs["2d_pred_feature"] = fused_out["feat_2d"]
+        outputs["pure3d_pred_feature"] = outputs["pred_3d"]
+
+        # loss_exact (criterion.py:184-207)
+        losses.update(
+            L.loss_exact(
+                fused_out["fused"], outputs["pred_3d"], text_embed, null_embed,
+                logit_scale, batch["labels_3d"], pv, c.ignore_label,
+            )
+        )
+
+        # loss_contra (criterion.py:39-182): raw projected masks
+        if c.mask_contra_3d:
+            raw_mask3d_logits = project_masks_to_points(
+                masks_mshape, batch["x_label"], batch["y_label"]
+            )
+            raw_mask3d = jax.nn.sigmoid(raw_mask3d_logits) >= 0.5
+            losses["loss_3d_contra"] = L.loss_contra(
+                raw_mask3d, masks_mshape, clip_mask_embed, outputs["pred_3d"],
+                batch["binary_label_3d"], pv,
+            )
+
+        # caption cosine losses (xmask3d.py:239-271)
+        if c.caption_contra:
+            losses["loss_explicit_contra"] = L.caption_cosine_loss(
+                fused_out["fused"], pv, caption_embed
+            )
+        if c.caption_contra_3d:
+            losses["loss_explicit_contra_3d"] = L.caption_cosine_loss(
+                outputs["pred_3d"], pv, caption_embed
+            )
+        if c.caption_contra_2d_pre:
+            losses["loss_explicit_contra_2d_pre"] = L.caption_cosine_loss(
+                fused_out["feat_2d"], pv & fused_out["covered"], caption_embed
+            )
+
+        # binary BCE (xmask3d.py:273-297)
+        losses["loss_binary"] = L.binary_bce_loss(
+            outputs["binary_scores"], batch["binary_label_3d"], pv,
+            c.ignore_category, c.data_ratio,
+        )
+        return losses, outputs
+
+    # ------------------------------------------------------------------ #
+    # eval forward (reference xmask3d.py:306-489)
+    # ------------------------------------------------------------------ #
+    def eval_forward(self, batch, statics):
+        c = self.cfg
+        outputs = self._trunk(batch, statics, train=False)
+        cat = self.category_embed(statics["text_embed_test"])
+        text_embed, null_embed = cat["text_embed"], cat["null_embed"]
+        logit_scale = outputs["logit_scale"]
+        pred_logits = cal_pred_logits(
+            outputs["mask_embed"], text_embed, null_embed, logit_scale
+        )
+        outputs["pred_logits"] = pred_logits
+
+        clip_mask_embed = self._clip_mask_embed(outputs["images"], outputs["pred_masks"])
+        outputs["mask_embed_clip"] = clip_mask_embed
+
+        mh, mw = c.mask_shape
+        b, q = outputs["pred_masks"].shape[:2]
+        masks_mshape = jax.image.resize(
+            outputs["pred_masks"], (b, q, mh, mw), "bilinear"
+        )
+
+        pv = batch["point_valid"]
+        # full (unfiltered) projected masks -> binary vote per query
+        # (xmask3d.py:356-373)
+        m3d_logits = project_masks_to_points(
+            masks_mshape, batch["x_label"], batch["y_label"]
+        )
+        mask_3d_full = (jax.nn.sigmoid(m3d_logits) > 0.5) & pv[:, None, :]
+        keep_full = mask_3d_full.sum(-1) > 0
+
+        binary_sig = jax.nn.sigmoid(outputs["binary_scores"].astype(jnp.float32))
+        mf = mask_3d_full.astype(jnp.float32)
+        binary_vote = jnp.einsum("bqp,bp->bq", mf, binary_sig) / (
+            mf.sum(-1) + 1e-10
+        )
+        is_base = binary_vote > c.binary_2d_thresh
+
+        # binary-routed logits (xmask3d.py:379-389)
+        num_cls = c.num_test_classes
+        neg = jnp.asarray(-1e10, pred_logits.dtype)
+        col = jnp.arange(pred_logits.shape[-1])
+        base_cols = jnp.isin(col, jnp.asarray(list(c.base_category)))
+        novel_cols = jnp.isin(col, jnp.asarray(list(c.novel_category)))
+        null_col = col == num_cls
+        logits_novel = jnp.where(base_cols | null_col, neg, pred_logits)
+        logits_base = jnp.where(novel_cols, neg, pred_logits)
+        modified = jnp.where(is_base[..., None], logits_base, logits_novel)
+
+        probs = jax.nn.softmax(modified.astype(jnp.float32), -1)
+        scores = probs.max(-1)
+        labels = probs.argmax(-1)
+        labels = jnp.where(labels > num_cls - 1, num_cls, labels)
+
+        keep = (scores > c.scores_keep_thresh) & keep_full
+        final_masks, final_valid = panoptic_mask_filter(scores, masks_mshape, keep)
+
+        mask_3d = (
+            project_masks_to_points(final_masks, batch["x_label"], batch["y_label"])
+            > 0.5
+        ) & pv[:, None, :]
+        fused_out = paint_and_fuse(
+            mask_3d, final_valid, outputs["mask_embed"], outputs["pred_3d"], pv,
+            self.fuser,
+        )
+
+        outputs.update(
+            {
+                "fused_pred_feature": fused_out["fused"],
+                "2d_pred_feature": fused_out["feat_2d"],
+                "pure3d_pred_feature": outputs["pred_3d"],
+                "covered": fused_out["covered"],
+                "final_mask_3d": mask_3d,
+                "final_mask_valid": final_valid,
+                "final_pred_open_embedding": clip_mask_embed,
+                "binary_pred": (binary_sig > 0.5).astype(jnp.int32),
+                "binary_sig": binary_sig,
+                "mask_cls_results": pred_logits,
+                "pred_labels": labels,
+                "pred_scores": scores,
+                "text_embed_test": text_embed,
+                "null_embed": null_embed,
+            }
+        )
+        return outputs

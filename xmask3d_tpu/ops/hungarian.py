@@ -71,11 +71,16 @@ def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
 
         # update potentials
         u = u.at[cur_row].add(min_val)
-        visited_rows = jnp.zeros((t,), bool)
-        # rows visited = rows assigned to scanned columns (excluding sink)
+        # rows visited = rows assigned to scanned columns (excluding sink);
+        # max-scatter so unscanned entries (-1 -> clipped 0) cannot clobber
         scanned_wo_sink = scanned_cols.at[sink].set(False)
         vr = jnp.where(scanned_wo_sink, col2row, -1)
-        visited_rows = jnp.zeros((t,), bool).at[jnp.clip(vr, 0, t - 1)].set(vr >= 0)
+        visited_rows = (
+            jnp.zeros((t,), jnp.int32)
+            .at[jnp.clip(vr, 0, t - 1)]
+            .max((vr >= 0).astype(jnp.int32))
+            .astype(bool)
+        )
         row_sc = jnp.where(
             visited_rows,
             sc[jnp.clip(row2col, 0, q - 1)],

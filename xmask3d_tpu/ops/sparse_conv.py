@@ -255,19 +255,28 @@ def sparse_conv(
     """Sparse convolution as K gather+matmul accumulations (XLA reference).
 
     Equivalent computation to ME.MinkowskiConvolution (reference
-    mink_unet.py:47-115) re-expressed as dense MXU matmuls. Each unrolled
-    step is a (B*V_out, C_in) x (C_in, C_out) matmul; XLA fuses the gather
-    into the matmul operand. A Pallas fused variant lives in
+    mink_unet.py:47-115) re-expressed as dense MXU matmuls. The offset loop
+    is a lax.scan — one compiled (B*V_out, C_in) x (C_in, C_out)
+    gather+matmul step regardless of K, keeping HLO size (and compile time)
+    constant across kernel sizes. A Pallas fused variant lives in
     sparse_pallas.py.
     """
     k = weights.shape[0]
     b, v_out = kmap.shape[0], kmap.shape[2]
-    out = jnp.zeros((b, v_out, weights.shape[2]), dtype=feats.dtype)
-    for i in range(k):  # static unroll
-        g = gather_voxels(feats, kmap[:, i])
-        out = out + jnp.einsum(
-            "bvc,co->bvo", g, weights[i], preferred_element_type=out.dtype
+    out0 = jnp.zeros((b, v_out, weights.shape[2]), dtype=feats.dtype)
+
+    def step(acc, inp):
+        idx, w = inp  # (B, V_out), (C_in, C_out)
+        g = gather_voxels(feats, idx)
+        return (
+            acc
+            + jnp.einsum("bvc,co->bvo", g, w, preferred_element_type=acc.dtype),
+            None,
         )
+
+    out, _ = jax.lax.scan(
+        step, out0, (kmap.swapaxes(0, 1), weights.astype(feats.dtype))
+    )
     if bias is not None:
         out = out + bias.astype(out.dtype)
     if out_valid is not None:
