@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 A100_BASELINE_SCENES_PER_SEC = 0.15
 VIEWS_PER_SCENE = 30
 NUM_SCENES = 3
@@ -29,6 +31,10 @@ NUM_SCENES = 3
 def main():
     import jax
     import jax.numpy as jnp
+
+    from xmask3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from xmask3d_tpu.config import load_config
     from xmask3d_tpu.data.batching import Capacities
@@ -83,10 +89,13 @@ def main():
         views.append(jax.tree_util.tree_map(jnp.asarray, b))
 
     t0 = time.time()
+    sink = 0
     for s in range(NUM_SCENES):
         for b in views:
             pred = infer_step(variables, b, statics)
-        pred.block_until_ready()
+        # force full materialization on host: async dispatch queues (and
+        # relay-backed backends) cannot fake a host transfer
+        sink += int(np.asarray(pred).sum())
     dt = time.time() - t0
     scenes_per_sec = NUM_SCENES / dt
 

@@ -162,6 +162,30 @@ def main(argv=None):
         if (epoch + 1) % cfg.save_freq == 0:
             ckpt.save(int(state.step), state)
             logger.info(f"saved checkpoint at step {int(state.step)}")
+
+        # periodic validation (reference train.py:881-1385 validate())
+        if cfg.evaluate and (epoch + 1) % cfg.eval_freq == 0:
+            from xmask3d_tpu.engine.validate import (
+                make_validate_step,
+                run_validation,
+            )
+
+            validate_step = make_validate_step(model, cfg)
+            variables_eval = {
+                "params": state.params, "batch_stats": state.batch_stats
+            }
+            n_val = cfg.get("val_batches", 4)
+            val_batches = (
+                shard_batch(next(data), mesh) for _ in range(n_val)
+            )
+            summary = run_validation(
+                validate_step, variables_eval, statics_dev, val_batches,
+                cfg.category_split.base_category,
+                cfg.category_split.novel_category,
+                cfg.test_classes,
+            )
+            logger.info(f"val epoch {epoch}: {summary}")
+            writer.add_scalars(summary, int(state.step), prefix="val/")
     writer.close()
 
 

@@ -128,3 +128,36 @@ class FeatureExtractorBackbone(nn.Module):
                 acc = p if acc is None else acc + p
             out[name] = acc
         return out
+
+    def slide_forward(
+        self,
+        image: jnp.ndarray,  # (B, H, W, 3), H/W multiples of crop
+        prefix: jnp.ndarray,
+        uncond_tokens: jnp.ndarray,
+        crop: int = 512,
+    ) -> Dict[str, jnp.ndarray]:
+        """Sliding-window forward for inputs larger than the training crop
+        (reference feature_extractor.py:169-226): per-window single_forward,
+        averaged into full-size maps. Static window grid (no-overlap stride =
+        crop, the reference's short-side tiling specialized to exact
+        multiples — crops always align, count==1 everywhere)."""
+        b, h, w, _ = image.shape
+        assert h % crop == 0 and w % crop == 0, "pad inputs to crop multiples"
+        outs: Dict[str, jnp.ndarray] = {}
+        for yi in range(h // crop):
+            for xi in range(w // crop):
+                sl = image[:, yi * crop : (yi + 1) * crop, xi * crop : (xi + 1) * crop]
+                feats = self(sl, prefix, uncond_tokens)
+                for k, v in feats.items():
+                    if k not in outs:
+                        stride = crop // v.shape[1]
+                        outs[k] = jnp.zeros(
+                            (b, h // stride, w // stride, v.shape[-1]), v.dtype
+                        )
+                    stride = crop // v.shape[1]
+                    outs[k] = jax.lax.dynamic_update_slice(
+                        outs[k],
+                        v,
+                        (0, yi * crop // stride, xi * crop // stride, 0),
+                    )
+        return outs

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xmask3d_tpu.models.layers import group_norm
+from xmask3d_tpu.ops.flash_attention import attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,11 +89,9 @@ class CrossAttention(nn.Module):
             return z.reshape(z.shape[0], z.shape[1], self.heads, d).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * (d**-0.5), k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # Pallas flash attention on TPU (4096-token self-attn at 512^2
+        # inputs); XLA fallback on CPU / unsupported shapes
+        out = attention(q, k, v).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], c)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 

@@ -144,75 +144,92 @@ def build_hierarchy(
     assert len(capacities) == num_levels
     coords = np.ascontiguousarray(coords[: capacities[0]], dtype=np.int32)
 
+    from xmask3d_tpu.data import native
+
+    lib = native.get_lib()
+
     level_coords: List[np.ndarray] = [coords]
     for lv in range(1, num_levels):
         s = 2**lv
-        parent = (level_coords[-1] // s) * s
-        keys = _pack(parent)
-        _, idx = np.unique(keys, return_index=True)
-        nxt = parent[np.sort(idx)][: capacities[lv]]
+        if lib is not None:
+            nxt = native.unique_parents(level_coords[-1], s, capacities[lv])
+        else:
+            parent = (level_coords[-1] // s) * s
+            keys = _pack(parent)
+            _, idx = np.unique(keys, return_index=True)
+            nxt = parent[np.sort(idx)][: capacities[lv]]
         level_coords.append(nxt)
 
     levels: List[SparseLevel] = []
     downs: List[np.ndarray] = []
     up_parents: List[np.ndarray] = []
     up_octants: List[np.ndarray] = []
-    sorted_keys = []
-    orders = []
-    for lv, c in enumerate(level_coords):
-        keys = _pack(c)
-        order = np.argsort(keys, kind="stable").astype(np.int32)
-        skeys = keys[order]
-        sorted_keys.append(skeys)
-        orders.append(order)
+
+    if lib is None:
+        sorted_keys, orders = [], []
+        for c in level_coords:
+            keys = _pack(c)
+            order = np.argsort(keys, kind="stable").astype(np.int32)
+            sorted_keys.append(keys[order])
+            orders.append(order)
+
+        def make_kmap(in_lv, out_coords, offsets, cap):
+            return _build_kmap(
+                out_coords, sorted_keys[in_lv], orders[in_lv], offsets, cap
+            )
+
+        def make_parent(lv, c, cap):
+            s2 = 2 ** (lv + 1)
+            parent_coords = (c // s2) * s2
+            pidx = _lookup(
+                sorted_keys[lv + 1], orders[lv + 1], _pack(parent_coords)
+            )
+            stride = 2**lv
+            oct3 = (c // stride) % 2
+            octant = (oct3[:, 0] * 4 + oct3[:, 1] * 2 + oct3[:, 2]).astype(np.int32)
+            pp = np.full((cap,), -1, dtype=np.int32)
+            oo = np.zeros((cap,), dtype=np.int32)
+            pp[: len(c)] = pidx
+            oo[: len(c)] = octant
+            return pp, oo
+
+    else:
+
+        def make_kmap(in_lv, out_coords, offsets, cap):
+            return native.build_kmap(level_coords[in_lv], out_coords, offsets, cap)
+
+        def make_parent(lv, c, cap):
+            return native.parent_octant(
+                c, level_coords[lv + 1], 2**lv, cap
+            )
 
     kmap5 = None
     for lv, c in enumerate(level_coords):
         cap = capacities[lv]
         n = len(c)
         stride = 2**lv
-        kmap3 = _build_kmap(c, sorted_keys[lv], orders[lv], _offsets(3, stride), cap)
+        kmap3 = make_kmap(lv, c, _offsets(3, stride), cap)
         coords_pad = np.zeros((cap, 3), dtype=np.int32)
         coords_pad[:n] = c
         valid = np.zeros((cap,), dtype=bool)
         valid[:n] = True
         levels.append(
-            SparseLevel(
-                coords=coords_pad,
-                valid=valid,
-                kmap3=kmap3,
-                num=np.int32(n),
-            )
+            SparseLevel(coords=coords_pad, valid=valid, kmap3=kmap3, num=np.int32(n))
         )
         if lv == 0 and stem_kernel:
-            kmap5 = _build_kmap(
-                c, sorted_keys[0], orders[0], _offsets(stem_kernel, 1), cap
-            )
+            kmap5 = make_kmap(0, c, _offsets(stem_kernel, 1), cap)
 
         if lv + 1 < num_levels:
             # down map: output voxels at level lv+1 gather inputs at
             # c_out + {0, stride}^3 from level lv.
             downs.append(
-                _build_kmap(
-                    level_coords[lv + 1],
-                    sorted_keys[lv],
-                    orders[lv],
-                    _offsets(2, stride),
-                    capacities[lv + 1],
+                make_kmap(
+                    lv, level_coords[lv + 1], _offsets(2, stride), capacities[lv + 1]
                 )
             )
-        if lv + 1 < num_levels:
             # up (transposed) map for level lv voxels: parent at level lv+1
             # and octant = (c // stride) % 2 per axis, last axis fastest.
-            s2 = 2 * stride
-            parent_coords = (c // s2) * s2
-            pidx = _lookup(sorted_keys[lv + 1], orders[lv + 1], _pack(parent_coords))
-            oct3 = (c // stride) % 2
-            octant = (oct3[:, 0] * 4 + oct3[:, 1] * 2 + oct3[:, 2]).astype(np.int32)
-            pp = np.full((cap,), -1, dtype=np.int32)
-            oo = np.zeros((cap,), dtype=np.int32)
-            pp[:n] = pidx
-            oo[:n] = octant
+            pp, oo = make_parent(lv, c, cap)
             up_parents.append(pp)
             up_octants.append(oo)
 
