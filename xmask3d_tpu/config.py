@@ -46,6 +46,8 @@ def load_config(path: str, overrides: Optional[List[str]] = None) -> Config:
     sections like DATA:/Model:/Distributed: is flattened so every leaf key
     is a top-level attribute.
     """
+    import os
+
     with open(path, "r") as f:
         raw = yaml.safe_load(f) or {}
     cfg = Config()
@@ -55,6 +57,15 @@ def load_config(path: str, overrides: Optional[List[str]] = None) -> Config:
                 cfg[k] = v
         else:
             cfg[key] = value
+    # large benchmark vocabularies (e.g. ScanNet200) live in side-car data
+    # files referenced by `meta_file`, merged under the main config
+    if "meta_file" in cfg:
+        meta_path = cfg["meta_file"]
+        if not os.path.isabs(meta_path):
+            meta_path = os.path.join(os.path.dirname(path), meta_path)
+        with open(meta_path) as f:
+            for k, v in (yaml.safe_load(f) or {}).items():
+                cfg[k] = v
     if overrides:
         merge_overrides(cfg, overrides)
     return cfg

@@ -111,6 +111,12 @@ class LdmExtractor(nn.Module):
         _, encodings = self.text_encoder(tokens)
         return encodings
 
+    def init_all(self, image, cond_inputs, tokens):
+        """Init helper touching every submodule (incl. the text encoder,
+        which the plain __call__ skips when cond_inputs are precomputed)."""
+        self.embed_text(tokens)
+        return self(image, cond_inputs)
+
     def __call__(
         self,
         image: jnp.ndarray,  # (B, H, W, 3) in [0, 1]
