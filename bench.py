@@ -57,9 +57,18 @@ def main():
         ctx, vocab = 77, 49408
         npts = 20000
 
+    # Device-side hierarchy building (ops/hierarchy_device.py) is correct on
+    # CPU/TPU single-shot, but on the current axon relay runtime the full
+    # model + builder program corrupts device state on RE-execution
+    # (INVALID_ARGUMENT on every later dispatch; minimal repros of
+    # builder+conv / builder+attention re-execute fine). Default to the
+    # host-built kernel maps until the runtime stabilizes.
+    device_hier = os.environ.get("BENCH_DEVICE_HIER", "0") == "1"
+    view_batch = int(os.environ.get("BENCH_VIEW_BATCH", "1"))
     batch = synthetic_batch(
-        1, caps, seed=0, num_points=npts, image_size=(image, image),
+        view_batch, caps, seed=0, num_points=npts, image_size=(image, image),
         mask_shape=tuple(cfg.mask_shape), context_length=ctx, vocab_size=vocab,
+        device_hierarchy=device_hier,
     )
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
     model, variables, statics = init_model(cfg, batch, tiny=tiny)
@@ -80,24 +89,50 @@ def main():
     pred = infer_step(variables, batch, statics)
     pred.block_until_ready()
 
+    # stage a bounded window of distinct views and cycle it (models a
+    # pipelined loader keeping a few batches in flight; the relay-backed
+    # dev backend evicts/re-uploads when too many buffers sit resident)
+    n_distinct = int(os.environ.get("BENCH_DISTINCT_VIEWS", "6"))
     views = []
-    for v in range(VIEWS_PER_SCENE):
+    for v in range(0, min(VIEWS_PER_SCENE, n_distinct * view_batch), view_batch):
         b = synthetic_batch(
-            1, caps, seed=100 + v, num_points=npts, image_size=(image, image),
-            mask_shape=tuple(cfg.mask_shape), context_length=ctx, vocab_size=vocab,
+            view_batch, caps, seed=100 + v, num_points=npts,
+            image_size=(image, image), mask_shape=tuple(cfg.mask_shape),
+            context_length=ctx, vocab_size=vocab, device_hierarchy=device_hier,
         )
         views.append(jax.tree_util.tree_map(jnp.asarray, b))
+    for b in views:  # pre-touch every leaf: force full residency pre-timing
+        jax.block_until_ready(b)
+    steps_per_scene = max(1, VIEWS_PER_SCENE // view_batch)
 
-    t0 = time.time()
-    sink = 0
-    for s in range(NUM_SCENES):
+    def measure():
+        # untimed warmup pass: first-touch of program workspace + buffers
         for b in views:
-            pred = infer_step(variables, b, statics)
-        # force full materialization on host: async dispatch queues (and
-        # relay-backed backends) cannot fake a host transfer
-        sink += int(np.asarray(pred).sum())
-    dt = time.time() - t0
-    scenes_per_sec = NUM_SCENES / dt
+            np.asarray(infer_step(variables, b, statics))
+        t0 = time.time()
+        sink = 0
+        for s in range(NUM_SCENES):
+            ts = time.time()
+            for i in range(steps_per_scene):
+                pred = infer_step(variables, views[i % len(views)], statics)
+                # force materialization: async dispatch queues (and
+                # relay-backed backends) cannot fake a host transfer
+                sink += int(np.asarray(pred).sum())
+            print(f"# scene {s}: {time.time() - ts:.2f}s", flush=True)
+        return NUM_SCENES / (time.time() - t0)
+
+    # the tunnel-backed backend occasionally drops a transfer; retry the
+    # whole measurement rather than reporting a corrupted number
+    scenes_per_sec = None
+    for attempt in range(3):
+        try:
+            scenes_per_sec = measure()
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError etc.
+            print(f"# measurement attempt {attempt} failed: {e}", flush=True)
+            time.sleep(5)
+    if scenes_per_sec is None:
+        raise RuntimeError("benchmark failed after 3 attempts")
 
     print(
         json.dumps(

@@ -83,13 +83,20 @@ void xm_build_kmap(const int32_t* coords, int64_t n, const int32_t* out_coords,
                    int64_t cap, int32_t* kmap) {
   Table t(n);
   for (int64_t i = 0; i < n; ++i) t.insert(pack(coords + 3 * i), (int32_t)i);
+  constexpr int32_t kMax = 1 << kBits;
   for (int32_t o = 0; o < k; ++o) {
     const int32_t* off = offsets + 3 * o;
     int32_t* row = kmap + o * cap;
     for (int64_t j = 0; j < n_out; ++j) {
       int32_t q[3] = {out_coords[3 * j] + off[0], out_coords[3 * j + 1] + off[1],
                       out_coords[3 * j + 2] + off[2]};
-      row[j] = t.find(pack(q));
+      // negative/overflow neighbor queries at the grid boundary never match
+      if (q[0] < 0 || q[1] < 0 || q[2] < 0 || q[0] >= kMax || q[1] >= kMax ||
+          q[2] >= kMax) {
+        row[j] = -1;
+      } else {
+        row[j] = t.find(pack(q));
+      }
     }
     for (int64_t j = n_out; j < cap; ++j) row[j] = -1;
   }

@@ -1,0 +1,115 @@
+"""Per-component timing on the current backend (TPU or CPU).
+
+Times each hot block of the pipeline in isolation to locate throughput
+bottlenecks: SD VAE encode / UNet / VAE decode, MinkUNets, pixel decoder,
+mask decoder, MaskCLIP, and a raw dispatch round trip.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmask3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def bench_fn(name, fn, *args, n=5):
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out
+    )
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+    dt = (time.time() - t0) / n
+    print(f"{name:32s} {dt * 1e3:9.1f} ms")
+    return dt
+
+
+def main():
+    print("backend:", jax.default_backend(), jax.devices())
+    key = jax.random.PRNGKey(0)
+
+    # 0. dispatch round trip
+    f_id = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128))
+    bench_fn("dispatch+D2H roundtrip", f_id, x, n=20)
+
+    # 1. SD VAE encoder (512^2)
+    from xmask3d_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+    img = jnp.zeros((1, 512, 512, 3), jnp.bfloat16)
+    vv = jax.jit(vae.init)(key, img)
+    enc = jax.jit(lambda v, x: vae.apply(v, x, method=vae.encode))
+    lat, _ = enc(vv, img)
+    bench_fn("VAE encode 512^2", enc, vv, img)
+    dec = jax.jit(lambda v, z: vae.apply(v, z, method=vae.decode))
+    bench_fn("VAE decode 64^2->512^2", dec, vv, lat)
+
+    # 2. SD UNet (64^2 latent)
+    from xmask3d_tpu.models.sd_unet import SDUNet, UNetConfig
+
+    unet = SDUNet(UNetConfig(), dtype=jnp.bfloat16)
+    zz = jnp.zeros((1, 64, 64, 4), jnp.bfloat16)
+    tt = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 768), jnp.bfloat16)
+    uv = jax.jit(unet.init)(key, zz, tt, ctx)
+    ufn = jax.jit(lambda v, z, t, c: unet.apply(v, z, t, c))
+    bench_fn("SD UNet 64^2", ufn, uv, zz, tt, ctx)
+
+    # 3. MinkUNet34C on 24k voxels
+    from xmask3d_tpu.data.batching import Capacities
+    from xmask3d_tpu.data.synthetic import synthetic_batch
+    from xmask3d_tpu.models.minkunet import mink_unet
+
+    caps = Capacities(max_points=32768, max_voxels=24576, max_targets=24)
+    b = synthetic_batch(1, caps, seed=0, num_points=20000, image_size=(64, 64))
+    h = jax.tree_util.tree_map(jnp.asarray, b["hierarchy"])
+    feats = jnp.asarray(b["voxel_feats"], jnp.bfloat16)
+    mu = mink_unet(out_channels=256, arch="MinkUNet34C", dtype=jnp.bfloat16)
+    muv = jax.jit(lambda k, f, hh: mu.init(k, f, hh, False))(key, feats, h)
+    mfn = jax.jit(lambda v, f, hh: mu.apply(v, f, hh, False))
+    bench_fn("MinkUNet34C 24k voxels", mfn, muv, feats, h)
+
+    # 4. MaskCLIP ViT-L (50 masks)
+    from xmask3d_tpu.models.clip import build_clip
+
+    clip = build_clip("ViT-L-14", dtype=jnp.bfloat16)
+    ci = jnp.zeros((1, 224, 224, 3), jnp.bfloat16)
+    toks = jnp.zeros((1, 77), jnp.int32)
+    cv = jax.jit(clip.init)(key, toks, ci)
+    masks = jnp.zeros((1, 50, 224, 224), jnp.bfloat16)
+    cfn = jax.jit(
+        lambda v, i, m: clip.apply(v, i, m, method=clip.encode_image_with_mask)
+    )
+    bench_fn("MaskCLIP ViT-L 50 masks", cfn, cv, ci, masks)
+
+    # 5. pixel decoder + mask decoder at 512^2 scale
+    from xmask3d_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+    from xmask3d_tpu.models.mask_decoder import ODISEMaskedTransformerDecoder
+
+    feats512 = {
+        "s2": jnp.zeros((1, 128, 128, 512), jnp.bfloat16),
+        "s3": jnp.zeros((1, 64, 64, 512), jnp.bfloat16),
+        "s4": jnp.zeros((1, 32, 32, 512), jnp.bfloat16),
+        "s5": jnp.zeros((1, 16, 16, 512), jnp.bfloat16),
+    }
+    pd = MSDeformAttnPixelDecoder(dtype=jnp.bfloat16)
+    pv = jax.jit(pd.init)(key, feats512)
+    pfn = jax.jit(lambda v, f: pd.apply(v, f))
+    mask_feats, ms = pfn(pv, feats512)
+    bench_fn("pixel decoder 512^2", pfn, pv, feats512)
+
+    md = ODISEMaskedTransformerDecoder(dtype=jnp.bfloat16)
+    mv = jax.jit(md.init)(key, list(ms), mask_feats)
+    mdfn = jax.jit(lambda v, a, b_: md.apply(v, list(a), b_))
+    bench_fn("mask decoder", mdfn, mv, tuple(ms), mask_feats)
+
+
+if __name__ == "__main__":
+    main()

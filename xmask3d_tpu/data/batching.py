@@ -74,11 +74,22 @@ def pack_targets(label_2d: np.ndarray, max_targets: int, num_base: int):
 
 
 def collate_views(
-    samples: List[ViewSample], caps: Capacities, num_base: int
+    samples: List[ViewSample],
+    caps: Capacities,
+    num_base: int,
+    device_hierarchy: bool = False,
 ) -> Dict[str, Any]:
-    """Pad and stack view samples into a fixed-shape batch dict (numpy)."""
+    """Pad and stack view samples into a fixed-shape batch dict (numpy).
+
+    device_hierarchy=True skips the host kernel-map build and ships only
+    (voxel_coords, voxel_num); the model builds the hierarchy on device
+    (ops/hierarchy_device.py) — ~15 MB/view less H2D traffic. Stride-1
+    coords are clamped below 1024/axis (the device builder's int32 key
+    budget; 20 m at 2 cm voxels).
+    """
     hs, batch = [], {}
     p, v = caps.max_points, caps.max_voxels
+    vox_coords, vox_num = [], []
     vox_feats, point_fields = [], {
         "inds_reconstruct": [],
         "labels_3d": [],
@@ -88,7 +99,12 @@ def collate_views(
     }
     point_valid, tgt_labels, tgt_valid = [], [], []
     for s in samples:
-        hs.append(build_hierarchy(s.voxel_coords[:v], caps.level_caps()))
+        coords = np.clip(s.voxel_coords[:v], 0, 1023).astype(np.int32)
+        if device_hierarchy:
+            vox_coords.append(_pad1(coords, v))
+            vox_num.append(np.int32(len(coords)))
+        else:
+            hs.append(build_hierarchy(coords, caps.level_caps()))
         vox_feats.append(_pad1(s.voxel_feats.astype(np.float32), v))
         n_pts = min(len(s.inds_reconstruct), p)
         pv = np.zeros((p,), bool)
@@ -108,7 +124,11 @@ def collate_views(
         tgt_labels.append(tl)
         tgt_valid.append(tv)
 
-    batch["hierarchy"] = stack_hierarchies(hs)
+    if device_hierarchy:
+        batch["voxel_coords"] = np.stack(vox_coords)
+        batch["voxel_num"] = np.stack(vox_num)
+    else:
+        batch["hierarchy"] = stack_hierarchies(hs)
     batch["voxel_feats"] = np.stack(vox_feats)
     batch["point_valid"] = np.stack(point_valid)
     for k, vals in point_fields.items():

@@ -82,6 +82,7 @@ def synthetic_batch(
     mask_shape=(240, 320),
     context_length: int = 77,
     vocab_size: int = 49408,
+    device_hierarchy: bool = False,
 ) -> Dict:
     rng = np.random.RandomState(seed)
     samples = [
@@ -91,4 +92,6 @@ def synthetic_batch(
         )
         for _ in range(batch_size)
     ]
-    return collate_views(samples, caps, num_base=num_classes)
+    return collate_views(
+        samples, caps, num_base=num_classes, device_hierarchy=device_hierarchy
+    )

@@ -153,10 +153,20 @@ def main(argv=None):
             t_step += t2 - t1
             step = int(state.step)
             if step % cfg.print_freq == 0:
-                host = {k: float(v) for k, v in metrics.items() if not k.startswith("loss_ce_") and not k.startswith("loss_mask_") and not k.startswith("loss_dice_")}
+                skip = ("loss_ce_", "loss_mask_", "loss_dice_", "metric_")
+                host = {
+                    k: float(v) for k, v in metrics.items()
+                    if not k.startswith(skip)
+                }
+                inter = np.asarray(metrics["metric_train_inter"])
+                union = np.asarray(metrics["metric_train_union"])
+                host["train_mIoU"] = float(
+                    (inter / np.maximum(union, 1e-10)).mean()
+                )
                 logger.info(
                     f"epoch {epoch} it {it} step {step} "
-                    f"loss {host['loss_total']:.4f} data {t_data:.1f}s step {t_step:.1f}s"
+                    f"loss {host['loss_total']:.4f} mIoU {host['train_mIoU']:.3f} "
+                    f"data {t_data:.1f}s step {t_step:.1f}s"
                 )
                 writer.add_scalars(host, step, prefix="train/")
         if (epoch + 1) % cfg.save_freq == 0:

@@ -193,7 +193,17 @@ class XMask3D(nn.Module):
     # ------------------------------------------------------------------ #
     def _trunk(self, batch: Dict[str, jnp.ndarray], statics, train: bool):
         c = self.cfg
-        h = batch["hierarchy"]
+        h = batch.get("hierarchy")
+        if h is None:
+            # light batches ship only voxel coords; build the hierarchy
+            # inside the jit (ops/hierarchy_device.py)
+            from xmask3d_tpu.ops.hierarchy_device import build_hierarchy_on_device
+
+            v0 = batch["voxel_coords"].shape[1]
+            caps = tuple(max(16, v0 // d) for d in (1, 2, 4, 8, 16))
+            h = build_hierarchy_on_device(
+                batch["voxel_coords"], batch["voxel_num"], caps
+            )
         implicit, pred_3d_vox = self.pc_decoder(batch["voxel_feats"], h, train)
         # per-scene masked max over bottleneck voxels (xmask3d.py:153-159)
         neg = jnp.finfo(implicit.dtype).min
@@ -347,6 +357,26 @@ class XMask3D(nn.Module):
                 logit_scale, batch["labels_3d"], pv, c.ignore_label,
             )
         )
+
+        # training-time IoU meters of the fused prediction
+        # (reference train_net, run/train.py:594-705)
+        from xmask3d_tpu.utils.metrics import intersection_and_union
+
+        fn = fused_out["fused"] / (
+            jnp.linalg.norm(fused_out["fused"], axis=-1, keepdims=True) + 1e-8
+        )
+        bank = jnp.concatenate([text_embed, null_embed], 0)
+        bank = bank / (jnp.linalg.norm(bank, axis=-1, keepdims=True) + 1e-8)
+        train_pred = jnp.argmax(
+            jnp.einsum("bpc,lc->bpl", fn.astype(jnp.float32), bank), -1
+        )
+        inter, union, _ = intersection_and_union(
+            train_pred, batch["labels_3d"], c.num_classes,
+            ignore_index=(c.ignore_label,), valid=pv,
+        )
+        # metric_* keys are reported, never weighted into the total loss
+        losses["metric_train_inter"] = inter
+        losses["metric_train_union"] = union
 
         # loss_contra (criterion.py:39-182): raw projected masks
         if c.mask_contra_3d:

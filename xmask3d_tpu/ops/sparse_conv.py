@@ -82,9 +82,14 @@ _BITS = 20  # 3*20 = 60 bits < 63; scenes at 2 cm span << 2^20 voxels/axis
 
 
 def _pack(coords: np.ndarray) -> np.ndarray:
-    """Pack non-negative int coords (N,3) into unique int64 keys."""
+    """Pack int coords (N,3) into unique int64 keys; out-of-range
+    components (negative boundary queries) map to a sentinel that can never
+    alias a real key."""
     c = coords.astype(np.int64)
-    return (c[:, 0] << (2 * _BITS)) | (c[:, 1] << _BITS) | c[:, 2]
+    key = (c[:, 0] << (2 * _BITS)) | (c[:, 1] << _BITS) | c[:, 2]
+    bad = ((c < 0) | (c >= (1 << _BITS))).any(axis=1)
+    key[bad] = np.int64(1) << 62
+    return key
 
 
 def _offsets(kernel_size: int, stride_units: int) -> np.ndarray:
