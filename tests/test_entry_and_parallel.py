@@ -25,10 +25,28 @@ def test_param_labels():
 
 
 def test_dryrun_multichip_8():
-    import __graft_entry__ as ge
+    # run in a fresh subprocess: the full-train-step compile on top of a
+    # long pytest session's accumulated executables can abort the host
+    # (observed XLA-CPU OOM abort); isolation keeps the suite stable
+    import os
+    import subprocess
+    import sys
 
-    assert len(jax.devices()) == 8
-    ge.dryrun_multichip(8)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run(
+        [
+            sys.executable, "-c",
+            "from xmask3d_tpu.utils.cache import enable_compilation_cache;"
+            "enable_compilation_cache();"
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        env=env, capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "dryrun_multichip OK" in out.stdout, out.stderr[-2000:]
 
 
 def test_mesh_and_sharding_helpers():

@@ -1,0 +1,111 @@
+"""ScanNet loader end-to-end on synthetic on-disk fixtures.
+
+Builds a miniature ScanNet-layout dataset (torch .pth scenes, color/depth/
+pose/label images, caption JSON) and exercises ScanNetViews / the
+view-acceptance rule / label remaps / batching — the loader contract of
+reference dataset/data_loader.py.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xmask3d_tpu.data.batching import Capacities
+from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetSceneViews, ScanNetViews
+from xmask3d_tpu.data.tokenizer import HashTokenizer
+
+LABEL_2D = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39]
+BASE = [0, 1, 2, 3, 4, 6, 7, 8, 10, 11, 13, 14, 15, 17, 18]
+NOVEL = [5, 9, 12, 16]
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    import imageio.v2 as imageio
+    import torch
+
+    root = tmp_path_factory.mktemp("scannet")
+    d3 = root / "scannet_3d" / "train"
+    d3.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+
+    # one scene: a 3m x 3m x 2m room-ish cloud in front of the camera
+    n = 4000
+    pts = np.zeros((n, 3))
+    pts[:, 0] = rng.uniform(-1.5, 1.5, n)
+    pts[:, 1] = rng.uniform(-1.0, 1.0, n)
+    pts[:, 2] = rng.uniform(1.0, 3.0, n)  # camera looks along +z
+    colors = rng.uniform(-1, 1, (n, 3))
+    labels = rng.randint(0, 19, n).astype(np.float64)
+    torch.save((pts, colors, labels), d3 / "scene0000_00_vh_clean_2.pth")
+    val = root / "scannet_3d" / "val"
+    val.mkdir()
+    torch.save((pts, colors, labels), val / "scene0000_00_vh_clean_2.pth")
+
+    d2 = root / "scannet_2d" / "scene0000_00"
+    for sub in ["color", "depth", "pose", "label"]:
+        (d2 / sub).mkdir(parents=True)
+    # identity pose: camera at origin looking along +z
+    np.savetxt(d2 / "pose" / "0.txt", np.eye(4))
+    img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    imageio.imwrite(d2 / "color" / "0.jpg", img)
+    # depth (mm) ~2m so points at z in [1,3] partially pass the vis check
+    depth = np.full((240, 320), 2000, np.uint16)
+    imageio.imwrite(d2 / "depth" / "0.png", depth)
+    lbl = rng.choice(LABEL_2D, size=(480, 640)).astype(np.uint8)
+    imageio.imwrite(d2 / "label" / "0.png", lbl)
+
+    cap = root / "caption.json"
+    cap.write_text(json.dumps({"scene0000_00": {"0": "a synthetic room"}}))
+    return root
+
+
+def _cfg(root, split="train"):
+    return ScanNetConfig(
+        data_root=str(root / "scannet_3d"),
+        data_root_2d=str(root / "scannet_2d"),
+        caption_path=str(root / "caption.json"),
+        label_2d=LABEL_2D,
+        base_category=BASE,
+        novel_category=NOVEL,
+        ignore_category=[19, 20],
+        voxel_size=0.05,
+        split=split,
+        loop=2,
+    )
+
+
+def test_train_loader_sample_and_batch(mini_dataset):
+    caps = Capacities(max_points=4096, max_voxels=4096, max_targets=24)
+    ds = ScanNetViews(_cfg(mini_dataset), caps, HashTokenizer(), seed=0)
+    assert len(ds) == 2  # 1 scene x loop 2
+    s = ds.get(0)
+    npts = len(s.labels_3d)
+    assert 400 < npts < 65000  # acceptance rule held
+    assert s.img.shape == (512, 512, 3)
+    assert s.label_2d.shape == (512, 512)
+    # train labels are compacted to 0..14; the ignore sentinel 20 compacts
+    # to 15 == cfg.ignore_label (reference data_loader.py:121-131)
+    assert set(np.unique(s.labels_3d)) <= set(range(len(BASE))) | {15}
+    assert s.binary_label_2d.shape == (128, 128)
+    assert s.caption_tokens.shape == (77,)
+
+    batch = ds.batch([0])
+    assert batch["img"].shape == (1, 512, 512, 3)
+    assert batch["point_valid"][0].sum() == min(npts, caps.max_points)
+    assert batch["hierarchy"].levels[0].coords.shape == (1, 4096, 3)
+
+
+def test_scene_views_loader(mini_dataset):
+    caps = Capacities(max_points=4096, max_voxels=4096, max_targets=24)
+    ds = ScanNetSceneViews(_cfg(mini_dataset, split="val"), caps, HashTokenizer())
+    scene = ds.scene(0)
+    assert scene["name"] == "scene0000_00"
+    assert len(scene["views"]) == 1
+    assert scene["coords"].shape[0] == 4000
+    v = scene["views"][0]
+    assert v["visible"].sum() == len(v["sample"].labels_3d)
+    # val labels are NOT compacted
+    assert set(np.unique(v["sample"].labels_3d)) <= set(range(19)) | {20}

@@ -60,4 +60,7 @@ def test_train_forward_losses(tiny_setup):
     for i in range(9):
         assert f"loss_ce_{i}" in losses
     for k, v in losses.items():
-        assert np.isfinite(float(v)), k
+        assert np.isfinite(np.asarray(v)).all(), k
+        if not k.startswith("metric_"):
+            assert np.asarray(v).ndim == 0, k
+    assert "metric_train_inter" in losses  # train-time IoU meters

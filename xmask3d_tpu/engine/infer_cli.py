@@ -44,6 +44,8 @@ def get_parser():
     p.add_argument("--tiny", action="store_true",
                    help="tiny model variant (CPU smoke runs)")
     p.add_argument("--num_scenes", type=int, default=0)
+    p.add_argument("--save_ply", default="",
+                   help="directory for GT/pred PLY dumps (infer.py:268-335)")
     p.add_argument("opts", nargs="*")
     return p
 
@@ -159,6 +161,16 @@ def main(argv=None):
         )
         for k in acc:
             acc[k] = acc[k] + m[k]
+        if args.save_ply:
+            from xmask3d_tpu.utils.visualization import save_colored_point_cloud
+
+            save_colored_point_cloud(
+                f"{args.save_ply}/{scene['name']}_pred.ply", scene["coords"], pred
+            )
+            save_colored_point_cloud(
+                f"{args.save_ply}/{scene['name']}_gt.ply", scene["coords"],
+                scene["labels"].astype(np.int64),
+            )
         logger.info(f"scene {scene['name']} done ({len(scene['views'])} views)")
     dt = time.time() - t0
     summary = summarize_iou(

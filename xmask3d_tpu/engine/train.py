@@ -45,19 +45,29 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default="")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic data (no ScanNet assets needed)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model variant (smoke runs)")
     p.add_argument("opts", nargs="*", help="KEY VALUE override pairs")
     return p
 
 
-def make_data_iter(cfg: Config, caps: Capacities, synthetic: bool) -> Iterable[Dict]:
+def make_data_iter(
+    cfg: Config, caps: Capacities, synthetic: bool, tiny: bool = False
+) -> Iterable[Dict]:
     if synthetic:
         from xmask3d_tpu.data.synthetic import synthetic_batch
+
+        kw = {}
+        if tiny:
+            kw = dict(num_points=400, image_size=(64, 64),
+                      mask_shape=tuple(cfg.mask_shape), context_length=16,
+                      vocab_size=512)
 
         def it():
             seed = 0
             while True:
                 yield synthetic_batch(
-                    cfg.batch_size, caps, seed=seed, num_classes=cfg.classes
+                    cfg.batch_size, caps, seed=seed, num_classes=cfg.classes, **kw
                 )
                 seed += 1
 
@@ -107,12 +117,12 @@ def main(argv=None):
     mesh = create_mesh(mesh_shape.get("data", -1), mesh_shape.get("model", 1))
     logger.info(f"mesh: {mesh}")
 
-    data = make_data_iter(cfg, caps, args.synthetic)
+    data = make_data_iter(cfg, caps, args.synthetic, tiny=args.tiny)
     first = next(data)
     batch0 = jax.tree_util.tree_map(jnp.asarray, first)
 
     logger.info("=> creating model ...")
-    model, variables, statics = init_model(cfg, batch0)
+    model, variables, statics = init_model(cfg, batch0, tiny=args.tiny)
     variables = {"params": shard_params(variables["params"], mesh),
                  "batch_stats": variables["batch_stats"]}
 

@@ -253,7 +253,7 @@ def stack_hierarchies(hs: Sequence[SparseHierarchy]) -> SparseHierarchy:
 
 
 # ---------------------------------------------------------------------------
-# Device-side ops (pure jnp; Pallas fused variants live in sparse_pallas.py)
+# Device-side ops (pure jnp; gather-rate-bound on TPU — Pallas kernel is future work)
 # ---------------------------------------------------------------------------
 
 
@@ -273,32 +273,42 @@ def sparse_conv(
     kmap: jnp.ndarray,  # (B, K, V_out) int32
     bias: Optional[jnp.ndarray] = None,
     out_valid: Optional[jnp.ndarray] = None,  # (B, V_out) bool
+    chunk: int = 1,
 ) -> jnp.ndarray:
-    """Sparse convolution as K gather+matmul accumulations (XLA reference).
+    """Sparse convolution as gather+matmul accumulations (XLA reference).
 
     Equivalent computation to ME.MinkowskiConvolution (reference
     mink_unet.py:47-115) re-expressed as dense MXU matmuls. The offset loop
-    is a lax.scan — one compiled (B*V_out, C_in) x (C_in, C_out)
-    gather+matmul step regardless of K, keeping HLO size (and compile time)
-    constant across kernel sizes. A Pallas fused variant lives in
-    sparse_pallas.py.
+    is a lax.scan over groups of `chunk` offsets: each step is one
+    (B, chunk*V_out) gather + one batched (chunk, V_out, C_in)x(C_in, C_out)
+    einsum — bounded HLO size (compile time). Measured on v5e: chunk=1 is
+    fastest (XLA gather runs ~70M rows/s nearly independent of row width or
+    grouping; the op is gather-rate-bound, not MXU-bound). A future Pallas
+    DMA-pipelined kernel is the next lever.
     """
     k = weights.shape[0]
     b, v_out = kmap.shape[0], kmap.shape[2]
-    out0 = jnp.zeros((b, v_out, weights.shape[2]), dtype=feats.dtype)
+    c_out = weights.shape[2]
+    while k % chunk:
+        chunk -= 1
+    out0 = jnp.zeros((b, v_out, c_out), dtype=feats.dtype)
+
+    km = kmap.swapaxes(0, 1).reshape(k // chunk, chunk, b, v_out)
+    wt = weights.astype(feats.dtype).reshape(k // chunk, chunk, *weights.shape[1:])
 
     def step(acc, inp):
-        idx, w = inp  # (B, V_out), (C_in, C_out)
-        g = gather_voxels(feats, idx)
+        idx, w = inp  # (chunk, B, V_out), (chunk, C_in, C_out)
+        flat_idx = idx.transpose(1, 0, 2).reshape(b, chunk * v_out)
+        g = gather_voxels(feats, flat_idx).reshape(b, chunk, v_out, -1)
         return (
             acc
-            + jnp.einsum("bvc,co->bvo", g, w, preferred_element_type=acc.dtype),
+            + jnp.einsum(
+                "bkvc,kco->bvo", g, w, preferred_element_type=acc.dtype
+            ),
             None,
         )
 
-    out, _ = jax.lax.scan(
-        step, out0, (kmap.swapaxes(0, 1), weights.astype(feats.dtype))
-    )
+    out, _ = jax.lax.scan(step, out0, (km, wt))
     if bias is not None:
         out = out + bias.astype(out.dtype)
     if out_valid is not None:
