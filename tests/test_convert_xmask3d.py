@@ -1,0 +1,99 @@
+"""Trainable-checkpoint converter coverage: every trainable (non-frozen)
+parameter and every MinkUNet batch-stat of the real model tree must be
+reachable from the torch name mapping."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xmask3d_tpu.checkpoint.convert_xmask3d import convert_xmask3d_checkpoint
+from xmask3d_tpu.engine.train_step import param_label
+
+
+class FakeSD(dict):
+    """Answers any torch key with a plausibly-shaped array (coverage-only)."""
+
+    def __contains__(self, k):
+        return True
+
+    _CONV2D = (
+        "feature_projections", "adapter_1.weight", "layer_1.weight",
+        "mask_features.weight", ".input_proj.",
+    )
+
+    def __getitem__(self, k):
+        if k.endswith(".kernel"):
+            return np.zeros((27, 1, 1), np.float32)
+        if k.endswith("level_embed"):
+            return np.zeros((3, 1), np.float32)
+        if "in_proj_weight" in k:
+            return np.zeros((3, 1), np.float32)
+        if "in_proj_bias" in k:
+            return np.zeros((3,), np.float32)
+        if k.endswith(".weight") and any(m in k for m in self._CONV2D):
+            return np.zeros((1, 1, 1, 1), np.float32)
+        return np.zeros((1, 1), np.float32)
+
+
+def _flatten(params, prefix=""):
+    out = {}
+    for k, v in params.items():
+        name = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, name + "/"))
+        else:
+            out[name] = v
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_model_tree():
+    from xmask3d_tpu.config import load_config
+    from xmask3d_tpu.data.batching import Capacities
+    from xmask3d_tpu.data.synthetic import synthetic_batch
+    from xmask3d_tpu.engine.builder import init_model
+
+    cfg = load_config("configs/scannet/xmask3d_scannet_B15N4.yaml")
+    cfg.mask_shape = [24, 32]
+    caps = Capacities(max_points=512, max_voxels=256, max_targets=8)
+    batch = synthetic_batch(
+        2, caps, seed=0, num_points=400, image_size=(64, 64),
+        mask_shape=(24, 32), context_length=16, vocab_size=512,
+    )
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    _, variables, _ = init_model(cfg, batch, tiny=True)
+    return variables
+
+
+def test_converter_covers_all_trainables(tiny_model_tree):
+    params_flat = _flatten(tiny_model_tree["params"])
+    stats_flat = _flatten(tiny_model_tree.get("batch_stats", {}))
+
+    import xmask3d_tpu.checkpoint.convert_xmask3d as cx
+
+    orig = cx._strip
+    cx._strip = lambda sd: sd  # FakeSD has no real items to strip
+    try:
+        conv_params, conv_stats = convert_xmask3d_checkpoint(FakeSD())
+    finally:
+        cx._strip = orig
+
+    trainable = {
+        k for k in params_flat
+        if param_label(tuple(k.split("/"))) != "frozen"
+    }
+    # the tiny arch differs from the full one in tap count / kernel sizes
+    # etc. — coverage is checked by name, modulo layer-count differences
+    missing = set()
+    for name in trainable:
+        if name in conv_params:
+            continue
+        # mask decoder aux layers beyond tiny's count, tap projections etc.
+        # exist in both; anything absent from the converter's key set is a
+        # genuine mapping gap
+        missing.add(name)
+    assert not missing, f"converter misses {len(missing)}: {sorted(missing)[:15]}"
+
+    missing_stats = {k for k in stats_flat if k not in conv_stats}
+    assert not missing_stats, f"stats misses: {sorted(missing_stats)[:15]}"
