@@ -1,0 +1,121 @@
+"""Coverage for auxiliary modules: txt2img CFG sampling, converted-weight
+bundles, validation summaries, model zoo, visualization, resamplers."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_txt2img_cfg_sampling_tiny():
+    from xmask3d_tpu.models.diffusion import GaussianDiffusion
+    from xmask3d_tpu.models.sd_unet import SDUNet, UNET_TINY
+    from xmask3d_tpu.models.vae import AutoencoderKL, VAE_TINY
+    from xmask3d_tpu.models.txt2img import sample_images
+
+    diffusion = GaussianDiffusion.create(
+        steps=1000, noise_schedule="ldm_linear", timestep_respacing="ddim4"
+    )
+    assert diffusion.num_timesteps == 4
+
+    unet = SDUNet(UNET_TINY)
+    vae = AutoencoderKL(VAE_TINY)
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 16, UNET_TINY.context_dim))
+    uv = jax.jit(unet.init)(key, z, jnp.zeros((1,), jnp.int32), ctx)
+    vv = jax.jit(vae.init)(key, jnp.zeros((1, 64, 64, 3)))
+
+    def unet_apply(x, t, c):
+        return unet.apply(uv, x, t, c)
+
+    def vae_decode(lat):
+        return vae.apply(vv, lat, method=vae.decode)
+
+    imgs = sample_images(
+        unet_apply, vae_decode, diffusion,
+        cond=ctx, uncond=ctx, rng=key, latent_hw=(8, 8), guidance_scale=7.5,
+    )
+    assert imgs.shape == (1, 64, 64, 3)
+    arr = np.asarray(imgs)
+    assert np.isfinite(arr).all() and arr.min() >= 0 and arr.max() <= 1
+
+
+def test_converted_bundle_roundtrip(tmp_path):
+    from xmask3d_tpu.checkpoint.load_converted import (
+        apply_converted,
+        load_converted_npz,
+    )
+
+    out = tmp_path / "bundle.npz"
+    np.savez(
+        out,
+        **{"params/a/b/kernel": np.full((2, 3), 7.0, np.float32)},
+        **{"batch_stats/a/bn/mean": np.ones((3,), np.float32)},
+    )
+    params, stats = load_converted_npz(str(out))
+    assert set(params) == {"a/b/kernel"} and set(stats) == {"a/bn/mean"}
+
+    variables = {
+        "params": {"a": {"b": {"kernel": np.zeros((2, 3), np.float32)}}},
+        "batch_stats": {"a": {"bn": {"mean": np.zeros((3,), np.float32)}}},
+    }
+    variables, ap, as_ = apply_converted(variables, str(out))
+    assert ap == ["a/b/kernel"] and as_ == ["a/bn/mean"]
+    np.testing.assert_allclose(variables["params"]["a"]["b"]["kernel"], 7.0)
+
+
+def test_validation_summary_shape():
+    from xmask3d_tpu.engine.validate import summarize_validation
+
+    hists = {
+        name: (np.ones(19), 2 * np.ones(19), np.ones(19))
+        for name in ("pred", "pred_2d", "pred_3d")
+    }
+    s = summarize_validation(hists, base_category=[0, 1], novel_category=[2])
+    assert set(s) == {
+        "mIoU_base", "mIoU_novel", "hIoU",
+        "mIoU_base_2d", "mIoU_novel_2d", "hIoU_2d",
+        "mIoU_base_3d", "mIoU_novel_3d", "hIoU_3d",
+    }
+    assert abs(s["hIoU"] - 0.5) < 1e-6  # all IoUs are 0.5
+
+
+def test_model_zoo_resolution(tmp_path, monkeypatch):
+    from xmask3d_tpu.utils import model_zoo
+
+    monkeypatch.setenv("XMASK3D_MODEL_ZOO", str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        model_zoo.resolve("sd://v1-3")
+    staged = tmp_path / "sd-v1-3.ckpt"
+    staged.write_bytes(b"x")
+    assert model_zoo.resolve("sd://v1-3") == str(staged)
+    assert model_zoo.resolve("/plain/path.ckpt") == "/plain/path.ckpt"
+
+
+def test_ply_dump(tmp_path):
+    from xmask3d_tpu.utils.visualization import save_colored_point_cloud
+
+    coords = np.random.RandomState(0).rand(10, 3)
+    labels = np.array([0, 1, 2, 3, 4, 5, 255, 7, 8, 9])
+    path = tmp_path / "cloud.ply"
+    save_colored_point_cloud(str(path), coords, labels)
+    text = path.read_text()
+    assert "element vertex 10" in text
+    assert len(text.strip().splitlines()) == 10 + 10  # header + points
+
+
+def test_loss_resampler():
+    from xmask3d_tpu.models.resample import LossSecondMomentResampler
+
+    rs = LossSecondMomentResampler(num_timesteps=4, history_per_term=2)
+    rng = np.random.RandomState(0)
+    t, w = rs.sample(8, rng)
+    assert t.shape == (8,) and np.allclose(w, 1.0)
+    for _ in range(4):
+        rs.update_with_losses(np.arange(4), np.arange(1, 5, dtype=float))
+    t, w = rs.sample(100, rng)
+    weights = rs.weights()
+    assert weights.argmax() == 3  # highest-loss timestep sampled most
