@@ -40,3 +40,41 @@ def test_iou_summary():
     assert abs(s["mIoU_base"] - (0.5 + 2 / 3) / 2) < 1e-6
     assert abs(s["mIoU_novel"] - 1.0) < 1e-6
     assert 0 < s["hIoU"] <= 1
+
+
+def test_per_view_fill_changes_pred_2d():
+    """Per-view nearest-covered fill (reference infer.py:527-548): an
+    uncovered point must inherit its nearest covered neighbor's 2D feature
+    and therefore its 2D prediction."""
+    import jax.numpy as jnp
+
+    from xmask3d_tpu.engine.infer import fill_and_route_2d, nearest_covered_match
+
+    coords = np.array(
+        [[0, 0, 0], [10, 0, 0], [9.5, 0, 0], [0.5, 0, 0]], np.float32
+    )
+    covered = np.array([True, True, False, False])
+    valid = np.ones(4, bool)
+    match = nearest_covered_match(coords, covered, valid)
+    np.testing.assert_array_equal(match, [0, 1, 1, 0])
+
+    # covered point 0 -> class 0, covered point 1 -> class 1
+    feat = np.zeros((1, 4, 2), np.float32)
+    feat[0, 0] = [1, 0]
+    feat[0, 1] = [0, 1]
+    text = jnp.asarray(np.eye(2, dtype=np.float32))
+    binary_pred = jnp.ones((1, 4), jnp.float32)
+    pred = fill_and_route_2d(
+        jnp.asarray(feat), jnp.asarray(match)[None], binary_pred, text,
+        jnp.asarray(100.0), base_category=(0, 1), novel_category=(),
+    )
+    np.testing.assert_array_equal(np.asarray(pred)[0], [0, 1, 1, 0])
+
+    # without the fill (identity match) the uncovered points' zero features
+    # would argmax to class 0 uniformly
+    ident = jnp.arange(4, dtype=jnp.int32)[None]
+    pred_nofill = fill_and_route_2d(
+        jnp.asarray(feat), ident, binary_pred, text, jnp.asarray(100.0),
+        base_category=(0, 1), novel_category=(),
+    )
+    assert np.asarray(pred_nofill)[0, 2] == 0  # fill changed this one

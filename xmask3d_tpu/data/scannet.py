@@ -92,6 +92,8 @@ class ScanNetConfig:
     input_color: bool = True
     scannet200: bool = False
     image_size: Tuple[int, int] = (512, 512)
+    cache_scenes: bool = True  # RAM-resident scene cache (the reference's
+    # /dev/shm SharedArray cache, point_loader.py:123-162)
 
 
 class ScanNetViews:
@@ -110,6 +112,11 @@ class ScanNetViews:
         self.mapper = get_scannet_mapper()
         with open(cfg.caption_path) as f:
             self.captions = json.load(f)
+
+        import threading
+
+        self._scene_cache: Dict[int, Tuple] = {}
+        self._cache_lock = threading.Lock()
 
         # id remaps (data_loader.py:56-73)
         if cfg.split in ("val", "test"):
@@ -151,6 +158,24 @@ class ScanNetViews:
 
     # ------------------------------------------------------------------ #
     def _load_scene(self, index: int):
+        """Load (and cache) one scene's raw points/colors/labels.
+
+        The cache replaces the reference's /dev/shm SharedArray
+        (point_loader.py:123-162): scenes are immutable after load — every
+        downstream consumer takes fancy-indexed copies — so entries are
+        shared across samples and worker threads.
+        """
+        if self.cfg.cache_scenes:
+            hit = self._scene_cache.get(index)
+            if hit is not None:
+                return hit
+        out = self._load_scene_uncached(index)
+        if self.cfg.cache_scenes:
+            with self._cache_lock:
+                self._scene_cache[index] = out
+        return out
+
+    def _load_scene_uncached(self, index: int):
         import torch
 
         locs, feats, labels = torch.load(

@@ -49,6 +49,9 @@ def model_config_from_cfg(cfg: Config, tiny: bool = False) -> XMask3DConfig:
         caption_contra_3d=cfg.caption_contra_3d,
         mask_contra_3d=cfg.mask_contra_3d,
         loss_weight=dict(cfg.loss_weight),
+        dec_layers=cfg.get("dec_layers", 9),
+        pixel_enc_layers=cfg.get("pixel_enc_layers", 6),
+        remat_backbone=bool(cfg.get("remat_backbone", False)),
         dtype=dtype,
     )
 

@@ -92,14 +92,69 @@ def ensemble_and_route(
         return binary_pred * lg_base + (1 - binary_pred) * lg_novel
 
     pred = jnp.argmax(route(logits_final), axis=-1)
-    logits_2d = logit_scale * jnp.einsum("bpc,lc->bpl", feat2d, text)
     logits_3d = logit_scale * jnp.einsum("bpc,lc->bpl", feat3d, text)
     return {
         "pred": pred.astype(jnp.int32),
-        "pred_2d": jnp.argmax(route(logits_2d), -1).astype(jnp.int32),
         "pred_3d": jnp.argmax(route(logits_3d), -1).astype(jnp.int32),
         "covered_2d": outputs["covered"],
+        # the 2D branch prediction needs the per-view nearest-covered fill
+        # first (reference infer.py:527-548); the host computes the match
+        # indices from coords, then fill_and_route_2d finishes on device.
+        "feat_2d": feat2d,
+        "binary_pred": binary_pred[..., 0],
+        "text": text,
+        "logit_scale": logit_scale,
     }
+
+
+def fill_and_route_2d(
+    feat_2d: jnp.ndarray,  # (B, P, C) normalized painted 2D features
+    match_idx: jnp.ndarray,  # (B, P) int32: nearest covered point per point
+    binary_pred: jnp.ndarray,  # (B, P) float {0,1}
+    text: jnp.ndarray,  # (L, C) normalized text bank
+    logit_scale: jnp.ndarray,
+    base_category: Sequence[int],
+    novel_category: Sequence[int],
+) -> jnp.ndarray:
+    """Per-view KDTree fill of zero-2D-feature points + binary routing of the
+    2D logits (reference run/infer.py:527-548 fill, :617-642 routing).
+
+    `match_idx` is identity for covered points and the nearest covered
+    point's index for uncovered ones (host KDTree on the view's coords);
+    the feature gather and the P x L logits stay on device.
+    """
+    filled = jnp.take_along_axis(feat_2d, match_idx[..., None], axis=1)
+    logits = logit_scale * jnp.einsum(
+        "bpc,lc->bpl", filled.astype(jnp.float32), text
+    )
+    ncls = text.shape[0]
+    neg = jnp.asarray(-1e10, jnp.float32)
+    base_cols = jnp.isin(jnp.arange(ncls), jnp.asarray(list(base_category)))
+    novel_cols = jnp.isin(jnp.arange(ncls), jnp.asarray(list(novel_category)))
+    lg_novel = jnp.where(base_cols, neg, logits)
+    lg_base = jnp.where(novel_cols, neg, logits)
+    routed = binary_pred[..., None] * lg_base + (1 - binary_pred[..., None]) * lg_novel
+    return jnp.argmax(routed, -1).astype(jnp.int32)
+
+
+def nearest_covered_match(
+    coords: np.ndarray, covered: np.ndarray, valid: np.ndarray
+) -> np.ndarray:
+    """Host side of the per-view fill: for every valid uncovered point, the
+    index of the nearest valid covered point (identity elsewhere)."""
+    from scipy.spatial import cKDTree
+
+    p = len(covered)
+    match = np.arange(p, dtype=np.int32)
+    cov = covered & valid
+    unc = (~covered) & valid
+    if not cov.any() or not unc.any():
+        return match
+    cov_idx = np.where(cov)[0]
+    tree = cKDTree(coords[cov_idx])
+    _, nn = tree.query(coords[np.where(unc)[0]], k=1)
+    match[unc] = cov_idx[nn].astype(np.int32)
+    return match
 
 
 def kdtree_fill(

@@ -29,6 +29,8 @@ from xmask3d_tpu.engine.infer import (
     SceneVoter,
     ensemble_and_route,
     evaluate_scene_predictions,
+    fill_and_route_2d,
+    nearest_covered_match,
     summarize_iou,
 )
 from xmask3d_tpu.utils.logging import get_logger
@@ -69,22 +71,61 @@ def make_infer_step(model, cfg):
         )
         return preds
 
-    return infer_step
+    mc = model.cfg
+    route_2d = jax.jit(
+        partial(
+            fill_and_route_2d,
+            base_category=mc.base_category,
+            novel_category=mc.novel_category,
+        )
+    )
+    return infer_step, route_2d
 
 
-def run_scene(scene, infer_step, variables, statics, caps, num_base, num_classes):
-    """Multi-view voting over one scene dict from ScanNetSceneViews.scene."""
+def run_scene(
+    scene, infer_step, route_2d, variables, statics, caps, num_base, num_classes
+):
+    """Multi-view voting over one scene dict from ScanNetSceneViews.scene.
+
+    Accumulates the fused-ensemble, 2D-branch, and 3D-branch predictions
+    (reference infer.py:642-647 scene_pred / scene_pred_2d / scene_pred_3d),
+    with the per-view nearest-covered fill of the 2D features
+    (infer.py:527-548) before the 2D logits.
+    """
     n_pts = len(scene["coords"])
-    voter = SceneVoter(n_pts, num_classes)
+    voters = {
+        k: SceneVoter(n_pts, num_classes) for k in ("pred", "pred_2d", "pred_3d")
+    }
     for view in scene["views"]:
         batch = collate_views([view["sample"]], caps, num_base=num_base)
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         preds = infer_step(variables, batch, statics)
-        pred = np.asarray(preds["pred"])[0]
         pv = np.asarray(batch["point_valid"])[0]
-        point_ids = np.where(view["visible"])[0][: pv.sum()]
-        voter.add_view(point_ids, pred[: len(point_ids)])
-    return voter.finalize(scene["coords"])
+        n_valid = int(pv.sum())
+        point_ids = np.where(view["visible"])[0][:n_valid]
+
+        # host: nearest covered neighbor per uncovered point of this view
+        p_cap = pv.shape[0]
+        coords_p = np.zeros((p_cap, 3), np.float32)
+        coords_p[: len(point_ids)] = scene["coords"][point_ids]
+        covered = np.asarray(preds["covered_2d"])[0]
+        match = nearest_covered_match(coords_p, covered, pv)
+        pred_2d = route_2d(
+            preds["feat_2d"],
+            jnp.asarray(match)[None],
+            preds["binary_pred"].astype(jnp.float32),
+            preds["text"],
+            preds["logit_scale"],
+        )
+        for key, arr in (
+            ("pred", preds["pred"]),
+            ("pred_2d", pred_2d),
+            ("pred_3d", preds["pred_3d"]),
+        ):
+            voters[key].add_view(
+                point_ids, np.asarray(arr)[0][: len(point_ids)]
+            )
+    return {k: v.finalize(scene["coords"]) for k, v in voters.items()}
 
 
 def main(argv=None):
@@ -103,9 +144,20 @@ def main(argv=None):
         batch0 = synthetic_batch(1, caps, seed=0, num_classes=cfg.classes, **kw)
         batch0 = jax.tree_util.tree_map(jnp.asarray, batch0)
         model, variables, statics = init_model(cfg, batch0, tiny=args.tiny)
-        infer_step = make_infer_step(model, cfg)
+        infer_step, route_2d = make_infer_step(model, cfg)
         preds = infer_step(variables, batch0, statics)
-        logger.info(f"synthetic inference ok: pred shape {preds['pred'].shape}")
+        p_cap = preds["pred"].shape[1]
+        pred_2d = route_2d(
+            preds["feat_2d"],
+            jnp.tile(jnp.arange(p_cap, dtype=jnp.int32)[None], (1, 1)),
+            preds["binary_pred"].astype(jnp.float32),
+            preds["text"],
+            preds["logit_scale"],
+        )
+        logger.info(
+            f"synthetic inference ok: pred shape {preds['pred'].shape}, "
+            f"pred_2d shape {pred_2d.shape}"
+        )
         return
 
     from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetSceneViews
@@ -145,27 +197,31 @@ def main(argv=None):
         state, _ = Checkpointer(args.ckpt).restore(state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    infer_step = make_infer_step(model, cfg)
-    acc = {"inter": 0, "union": 0, "target": 0}
+    infer_step, route_2d = make_infer_step(model, cfg)
+    streams = ("pred", "pred_2d", "pred_3d")
+    acc = {s: {"inter": 0, "union": 0, "target": 0} for s in streams}
     t0 = time.time()
     for i in range(n):
         scene = ds.scene(i) if i else scene0
         pred = run_scene(
-            scene, infer_step, variables, statics, caps,
+            scene, infer_step, route_2d, variables, statics, caps,
             len(ds_cfg.base_category), cfg.test_classes,
         )
-        m = evaluate_scene_predictions(
-            pred, scene["labels"].astype(np.int64), cfg.test_classes,
-            cfg.category_split.base_category, cfg.category_split.novel_category,
-            ignore=tuple(cfg.test_ignore_label) + (255,),
-        )
-        for k in acc:
-            acc[k] = acc[k] + m[k]
+        for s in streams:
+            m = evaluate_scene_predictions(
+                pred[s], scene["labels"].astype(np.int64), cfg.test_classes,
+                cfg.category_split.base_category,
+                cfg.category_split.novel_category,
+                ignore=tuple(cfg.test_ignore_label) + (255,),
+            )
+            for k in acc[s]:
+                acc[s][k] = acc[s][k] + m[k]
         if args.save_ply:
             from xmask3d_tpu.utils.visualization import save_colored_point_cloud
 
             save_colored_point_cloud(
-                f"{args.save_ply}/{scene['name']}_pred.ply", scene["coords"], pred
+                f"{args.save_ply}/{scene['name']}_pred.ply", scene["coords"],
+                pred["pred"],
             )
             save_colored_point_cloud(
                 f"{args.save_ply}/{scene['name']}_gt.ply", scene["coords"],
@@ -173,9 +229,14 @@ def main(argv=None):
             )
         logger.info(f"scene {scene['name']} done ({len(scene['views'])} views)")
     dt = time.time() - t0
-    summary = summarize_iou(
-        acc, cfg.category_split.base_category, cfg.category_split.novel_category
-    )
+    summary = {}
+    for s in streams:
+        si = summarize_iou(
+            acc[s], cfg.category_split.base_category,
+            cfg.category_split.novel_category,
+        )
+        suffix = "" if s == "pred" else "_" + s.split("_")[1]
+        summary.update({k + suffix: v for k, v in si.items()})
     summary["scenes_per_sec"] = n / dt
     logger.info(str(summary))
     return summary

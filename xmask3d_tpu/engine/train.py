@@ -52,8 +52,18 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def make_data_iter(
-    cfg: Config, caps: Capacities, synthetic: bool, tiny: bool = False
-) -> Iterable[Dict]:
+    cfg: Config,
+    caps: Capacities,
+    synthetic: bool,
+    tiny: bool = False,
+    split: str = "train",
+):
+    """Build a batch iterator for the given split.
+
+    Returns (iterator, samples_per_host): samples_per_host is the number of
+    per-host samples per epoch (dataset length incl. the `loop` multiplier,
+    reference train.py:229-264), or None for synthetic data.
+    """
     if synthetic:
         from xmask3d_tpu.data.synthetic import synthetic_batch
 
@@ -62,20 +72,24 @@ def make_data_iter(
             kw = dict(num_points=400, image_size=(64, 64),
                       mask_shape=tuple(cfg.mask_shape), context_length=16,
                       vocab_size=512)
+        # distinct seed streams per split: the val stream must never be the
+        # train stream (reference uses a separate val loader, train.py:260-264)
+        seed0 = 0 if split == "train" else 1_000_000
 
         def it():
-            seed = 0
+            seed = seed0
             while True:
                 yield synthetic_batch(
                     cfg.batch_size, caps, seed=seed, num_classes=cfg.classes, **kw
                 )
                 seed += 1
 
-        return it()
+        return it(), None
 
     from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetViews
     from xmask3d_tpu.data.tokenizer import build_tokenizer
 
+    train = split == "train"
     ds_cfg = ScanNetConfig(
         data_root=cfg.data_root,
         data_root_2d=cfg.data_root_2d,
@@ -85,26 +99,37 @@ def make_data_iter(
         novel_category=cfg.category_split.novel_category,
         ignore_category=cfg.category_split.ignore_category,
         voxel_size=cfg.voxel_size,
-        split="train",
-        aug=cfg.aug,
-        loop=cfg.loop,
+        split=split,
+        aug=cfg.aug if train else False,
+        loop=cfg.loop if train else 1,
         input_color=cfg.input_color,
         scannet200=cfg.scannet200,
     )
     tok = build_tokenizer(cfg.get("clip_bpe_vocab", ""))
     ds = ScanNetViews(ds_cfg, caps, tok, seed=cfg.manual_seed)
 
-    def it():
-        order = np.random.RandomState(cfg.manual_seed).permutation(len(ds))
-        # shard by host (replaces DistributedSampler, train.py:229-233)
-        order = order[jax.process_index() :: max(jax.process_count(), 1)]
+    # shard by host (replaces DistributedSampler, train.py:229-233)
+    order0 = np.random.RandomState(cfg.manual_seed).permutation(len(ds))
+    order0 = order0[jax.process_index() :: max(jax.process_count(), 1)]
+
+    def index_iter():
         i = 0
         while True:
-            idx = [order[(i + k) % len(order)] for k in range(cfg.batch_size)]
+            yield [
+                order0[(i + k) % len(order0)] for k in range(cfg.batch_size)
+            ]
             i += cfg.batch_size
-            yield ds.batch(idx)
 
-    return it()
+    workers = int(cfg.get("workers", 0))
+    if workers > 0:
+        # parallel batch construction (reference DataLoader workers,
+        # train.py:210-244); scene reads hit the RAM cache in ScanNetViews
+        from xmask3d_tpu.data.prefetch import parallel_map_iterator
+
+        iterator = parallel_map_iterator(ds.batch, index_iter(), workers)
+    else:
+        iterator = (ds.batch(idx) for idx in index_iter())
+    return iterator, len(order0)
 
 
 def main(argv=None):
@@ -117,7 +142,7 @@ def main(argv=None):
     mesh = create_mesh(mesh_shape.get("data", -1), mesh_shape.get("model", 1))
     logger.info(f"mesh: {mesh}")
 
-    data = make_data_iter(cfg, caps, args.synthetic, tiny=args.tiny)
+    data, n_samples = make_data_iter(cfg, caps, args.synthetic, tiny=args.tiny)
     first = next(data)
     batch0 = jax.tree_util.tree_map(jnp.asarray, first)
 
@@ -126,7 +151,13 @@ def main(argv=None):
     variables = {"params": shard_params(variables["params"], mesh),
                  "batch_stats": variables["batch_stats"]}
 
-    steps_per_epoch = max(1, cfg.get("steps_per_epoch", 100))
+    # dataset-derived epoch accounting (reference train.py:229-264:
+    # len(dataset) already includes the `loop` multiplier); synthetic runs
+    # fall back to the steps_per_epoch config knob.
+    if n_samples is not None:
+        steps_per_epoch = max(1, n_samples // cfg.batch_size)
+    else:
+        steps_per_epoch = max(1, cfg.get("steps_per_epoch", 100))
     total_steps = cfg.epochs * steps_per_epoch
     optimizer = make_optimizer(
         cfg.lr_3d, cfg.lr_others, total_steps,
@@ -139,13 +170,25 @@ def main(argv=None):
 
     ckpt = Checkpointer(os.path.join(args.save_path, "model"))
     start_epoch = cfg.start_epoch
+    resumed_best_iou = 0.0
     if args.resume:
         state, meta = ckpt.restore(state)
         start_epoch = meta["step"] // steps_per_epoch
-        logger.info(f"resumed from step {meta['step']}")
+        resumed_best_iou = float(meta.get("best_iou", 0.0))
+        logger.info(
+            f"resumed from step {meta['step']} (best_iou {resumed_best_iou:.4f})"
+        )
 
     writer = MetricsWriter(args.save_path)
     statics_dev = jax.tree_util.tree_map(jnp.asarray, statics)
+
+    # held-out validation stream (reference val loader, train.py:260-264)
+    val_data = None
+    best_iou = resumed_best_iou
+    if cfg.evaluate:
+        val_data, _ = make_data_iter(
+            cfg, caps, args.synthetic, tiny=args.tiny, split="val"
+        )
 
     for epoch in range(start_epoch, cfg.epochs):
         contra_on = jnp.asarray(
@@ -179,11 +222,8 @@ def main(argv=None):
                     f"data {t_data:.1f}s step {t_step:.1f}s"
                 )
                 writer.add_scalars(host, step, prefix="train/")
-        if (epoch + 1) % cfg.save_freq == 0:
-            ckpt.save(int(state.step), state)
-            logger.info(f"saved checkpoint at step {int(state.step)}")
-
-        # periodic validation (reference train.py:881-1385 validate())
+        # periodic validation on the held-out split
+        # (reference train.py:881-1385 validate())
         if cfg.evaluate and (epoch + 1) % cfg.eval_freq == 0:
             from xmask3d_tpu.engine.validate import (
                 make_validate_step,
@@ -196,7 +236,7 @@ def main(argv=None):
             }
             n_val = cfg.get("val_batches", 4)
             val_batches = (
-                shard_batch(next(data), mesh) for _ in range(n_val)
+                shard_batch(next(val_data), mesh) for _ in range(n_val)
             )
             summary = run_validation(
                 validate_step, variables_eval, statics_dev, val_batches,
@@ -206,6 +246,14 @@ def main(argv=None):
             )
             logger.info(f"val epoch {epoch}: {summary}")
             writer.add_scalars(summary, int(state.step), prefix="val/")
+            best_iou = max(best_iou, summary.get("hIoU", 0.0))
+
+        if (epoch + 1) % cfg.save_freq == 0:
+            ckpt.save(int(state.step), state, best_iou=best_iou)
+            logger.info(
+                f"saved checkpoint at step {int(state.step)} "
+                f"(best_iou {best_iou:.4f})"
+            )
     writer.close()
 
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xmask3d_tpu.engine.infer import ensemble_and_route
+from xmask3d_tpu.engine.infer import ensemble_and_route, fill_and_route_2d
 from xmask3d_tpu.utils.metrics import hiou, intersection_and_union
 
 
@@ -32,6 +32,15 @@ def make_validate_step(model, cfg):
         preds = ensemble_and_route(
             outputs, mc.base_category, mc.novel_category, mc.num_test_classes,
             cfg.base_ratio, cfg.novel_ratio,
+        )
+        # train-time validate computes 2D logits without the KDTree fill
+        # (reference train.py:1062 vs infer.py:527-548) -> identity match
+        b, p = preds["pred"].shape
+        ident = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32)[None], (b, p))
+        preds["pred_2d"] = fill_and_route_2d(
+            preds["feat_2d"], ident, preds["binary_pred"].astype(jnp.float32),
+            preds["text"], preds["logit_scale"],
+            mc.base_category, mc.novel_category,
         )
         hists = {}
         for name in ("pred", "pred_2d", "pred_3d"):

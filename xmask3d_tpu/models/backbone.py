@@ -5,8 +5,9 @@ models/modeling/backbone/feature_extractor.py:19-234
 (FeatureExtractorBackbone): per-tap bottleneck projection to 512 channels,
 stride clamping to [4, 32], grouping into s2/s3/s4/s5, nearest-resize
 restore + per-group sum. Sliding-window forward is supported for
-high-resolution inputs. Gradient checkpointing maps to jax.checkpoint
-applied by the caller (parallel/train_step.py) rather than a module flag.
+high-resolution inputs. Gradient checkpointing (the reference's
+feature_extractor.py:138-143 toggle) is the `remat_backbone` config knob:
+XMask3D.setup wraps this module in flax.linen.remat when it is set.
 """
 
 from __future__ import annotations

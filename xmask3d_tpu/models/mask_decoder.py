@@ -275,13 +275,25 @@ class CategoryEmbed(nn.Module):
     projection_dim: int = -1  # <0 => identity (reference B15N4 setting)
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, text_embed: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        null_embed = self.param(
+    def setup(self):
+        self.null_embed = self.param(
             "null_embed", nn.initializers.normal(0.02), (1, self.embed_dim)
         )
         if self.projection_dim > 0:
-            proj = nn.Dense(self.projection_dim, dtype=self.dtype, name="text_proj")
-            text_embed = proj(text_embed)
-            null_embed = proj(null_embed)
-        return {"text_embed": text_embed, "null_embed": null_embed}
+            self.text_proj = nn.Dense(
+                self.projection_dim, dtype=self.dtype, name="text_proj"
+            )
+
+    def project(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The reference's category_head.text_proj (odise.py:618-622;
+        identity in all shipped configs, Dense when projection_dim > 0) —
+        also applied to caption embeddings (xmask3d.py:185)."""
+        if self.projection_dim > 0:
+            return self.text_proj(x)
+        return x
+
+    def __call__(self, text_embed: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return {
+            "text_embed": self.project(text_embed),
+            "null_embed": self.project(self.null_embed),
+        }

@@ -68,6 +68,9 @@ class XMask3DConfig:
     mask_weight: float = 5.0
     dice_weight: float = 5.0
     dec_layers: int = 9
+    pixel_enc_layers: int = 6
+    remat_backbone: bool = False  # gradient-checkpoint the SD backbone
+    # (reference feature_extractor.py:138-143 checkpoint toggle)
     caption_contra: bool = True
     caption_contra_2d_pre: bool = True
     caption_contra_3d: bool = True
@@ -175,8 +178,15 @@ class XMask3D(nn.Module):
         self.pc_binary_head = PCBinaryProcessor(
             arch=c.arch_binary_head, axis_name=self.axis_name, dtype=dt
         )
-        self.backbone = FeatureExtractorBackbone(ldm_cfg=c.ldm, dtype=dt)
-        self.pixel_decoder = MSDeformAttnPixelDecoder(dtype=dt)
+        backbone_cls = (
+            nn.remat(FeatureExtractorBackbone)
+            if c.remat_backbone
+            else FeatureExtractorBackbone
+        )
+        self.backbone = backbone_cls(ldm_cfg=c.ldm, dtype=dt)
+        self.pixel_decoder = MSDeformAttnPixelDecoder(
+            enc_layers=c.pixel_enc_layers, dtype=dt
+        )
         self.mask_decoder = ODISEMaskedTransformerDecoder(
             num_classes=c.num_classes,
             num_queries=c.num_queries,
@@ -253,7 +263,11 @@ class XMask3D(nn.Module):
     def train_forward(self, batch, statics):
         c = self.cfg
         outputs = self._trunk(batch, statics, train=True)
-        caption_embed = self.embed_captions(batch["caption_tokens"])
+        # caption embeddings pass through the category head's text_proj
+        # (reference xmask3d.py:185)
+        caption_embed = self.category_embed.project(
+            self.embed_captions(batch["caption_tokens"])
+        )
 
         cat = self.category_embed(statics["text_embed_train"])
         text_embed, null_embed = cat["text_embed"], cat["null_embed"]
