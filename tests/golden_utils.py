@@ -1,0 +1,198 @@
+"""Loaders for the reference implementation's CPU-runnable torch modules.
+
+The reference at /root/reference is plain PyTorch; a few of its modules are
+importable as-is, the rest need small dependency stubs (detectron2 / fvcore
+are not installed here). The stubs reimplement only the tiny public
+utilities the imported code calls (point_sample = grid_sample wrapper,
+Conv2d-with-norm, no-op registries) so the REFERENCE code itself runs
+unmodified and can serve as the numeric oracle for our JAX ops.
+
+Parent packages are registered in sys.modules with bare __path__ entries so
+importing a submodule does NOT execute the real package __init__ (which
+pulls in the whole detectron2-dependent training stack).
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+
+REF = "/root/reference"
+M2F = REF + "/third_party/Mask2Former"
+
+
+def _pkg(name: str, path: str) -> None:
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    mod.__path__ = [path]
+    sys.modules[name] = mod
+
+
+def install_detectron2_stubs() -> None:
+    """Minimal stand-ins for the detectron2/fvcore surface the reference's
+    matcher/criterion/decoder modules import. Each function mirrors the
+    documented public behavior (detectron2 point_rend.point_features and
+    layers.Conv2d)."""
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    if "detectron2" in sys.modules:
+        return
+
+    d2 = types.ModuleType("detectron2")
+    d2.__path__ = []
+
+    config = types.ModuleType("detectron2.config")
+
+    def configurable(init=None, *, from_config=None):
+        if init is None:
+            return lambda f: f
+        return init
+
+    config.configurable = configurable
+
+    layers = types.ModuleType("detectron2.layers")
+
+    class Conv2d(nn.Conv2d):
+        def __init__(self, *a, norm=None, activation=None, **kw):
+            super().__init__(*a, **kw)
+            self.norm = norm
+            self.activation = activation
+
+        def forward(self, x):
+            x = super().forward(x)
+            if self.norm is not None:
+                x = self.norm(x)
+            if self.activation is not None:
+                x = self.activation(x)
+            return x
+
+    layers.Conv2d = Conv2d
+    layers.ShapeSpec = object
+
+    utils = types.ModuleType("detectron2.utils")
+    utils.__path__ = []
+    registry_mod = types.ModuleType("detectron2.utils.registry")
+
+    class Registry:
+        def __init__(self, name):
+            self._name = name
+
+        def register(self, obj=None):
+            if obj is None:
+                return lambda o: o
+            return obj
+
+        def __call__(self, obj=None):
+            return self.register(obj)
+
+    registry_mod.Registry = Registry
+    comm = types.ModuleType("detectron2.utils.comm")
+    comm.get_world_size = lambda: 1
+
+    projects = types.ModuleType("detectron2.projects")
+    projects.__path__ = []
+    point_rend = types.ModuleType("detectron2.projects.point_rend")
+    point_rend.__path__ = []
+    point_features = types.ModuleType(
+        "detectron2.projects.point_rend.point_features"
+    )
+
+    def point_sample(input, point_coords, **kwargs):
+        # detectron2's point_sample: grid_sample at 2*coords-1
+        add_dim = False
+        if point_coords.dim() == 3:
+            add_dim = True
+            point_coords = point_coords.unsqueeze(2)
+        output = F.grid_sample(input, 2.0 * point_coords - 1.0, **kwargs)
+        if add_dim:
+            output = output.squeeze(3)
+        return output
+
+    def get_uncertain_point_coords_with_randomness(
+        coarse_logits, uncertainty_func, num_points, oversample_ratio,
+        importance_sample_ratio,
+    ):
+        num_boxes = coarse_logits.shape[0]
+        num_sampled = int(num_points * oversample_ratio)
+        point_coords = torch.rand(num_boxes, num_sampled, 2,
+                                  device=coarse_logits.device)
+        point_logits = point_sample(coarse_logits, point_coords,
+                                    align_corners=False)
+        point_uncertainties = uncertainty_func(point_logits)
+        num_uncertain_points = int(importance_sample_ratio * num_points)
+        num_random_points = num_points - num_uncertain_points
+        idx = torch.topk(point_uncertainties[:, 0, :], k=num_uncertain_points,
+                         dim=1)[1]
+        shift = num_sampled * torch.arange(num_boxes, dtype=torch.long,
+                                           device=coarse_logits.device)
+        idx += shift[:, None]
+        point_coords = point_coords.view(-1, 2)[idx.view(-1), :].view(
+            num_boxes, num_uncertain_points, 2
+        )
+        if num_random_points > 0:
+            point_coords = torch.cat(
+                [point_coords,
+                 torch.rand(num_boxes, num_random_points, 2,
+                            device=coarse_logits.device)],
+                dim=1,
+            )
+        return point_coords
+
+    point_features.point_sample = point_sample
+    point_features.get_uncertain_point_coords_with_randomness = (
+        get_uncertain_point_coords_with_randomness
+    )
+
+    fvcore = types.ModuleType("fvcore")
+    fvcore.__path__ = []
+    fv_nn = types.ModuleType("fvcore.nn")
+    fv_nn.__path__ = []
+    weight_init = types.ModuleType("fvcore.nn.weight_init")
+    weight_init.c2_xavier_fill = lambda m: nn.init.xavier_uniform_(m.weight)
+    weight_init.c2_msra_fill = lambda m: nn.init.kaiming_normal_(m.weight)
+    fv_nn.weight_init = weight_init
+
+    for name, mod in [
+        ("detectron2", d2),
+        ("detectron2.config", config),
+        ("detectron2.layers", layers),
+        ("detectron2.utils", utils),
+        ("detectron2.utils.registry", registry_mod),
+        ("detectron2.utils.comm", comm),
+        ("detectron2.projects", projects),
+        ("detectron2.projects.point_rend", point_rend),
+        ("detectron2.projects.point_rend.point_features", point_features),
+        ("fvcore", fvcore),
+        ("fvcore.nn", fv_nn),
+        ("fvcore.nn.weight_init", weight_init),
+    ]:
+        sys.modules[name] = mod
+
+
+def load_ref_module(dotted: str):
+    """Import a reference module without executing real package __init__s.
+
+    dotted: e.g. 'mask2former.modeling.matcher' (rooted at Mask2Former) or
+    'dataset.voxelization_utils' / 'models.utils.fusion_util' (rooted at
+    the reference repo).
+    """
+    install_detectron2_stubs()
+    # py3.12 compat for the reference's `from collections import Sequence`
+    import collections
+    import collections.abc
+
+    if not hasattr(collections, "Sequence"):
+        collections.Sequence = collections.abc.Sequence
+
+    parts = dotted.split(".")
+    root = M2F if parts[0] == "mask2former" else REF
+    # register bare parent packages pointing into the reference tree
+    path = root
+    for i, p in enumerate(parts[:-1]):
+        path = path + "/" + p
+        _pkg(".".join(parts[: i + 1]), path)
+    return importlib.import_module(dotted)

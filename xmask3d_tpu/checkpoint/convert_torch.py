@@ -13,8 +13,8 @@ Layout transforms: torch Conv (O,I,kh,kw) -> flax (kh,kw,I,O); Linear (O,I)
 -> (I,O); packed qkv rows -> packed columns. MinkowskiEngine sparse kernels
 are already (K, C_in, C_out); only the kernel-offset ordering is permuted
 (ME iterates the first axis fastest, ours the last — see
-`me_offset_permutation`; validate against captured ME goldens before
-production use).
+`me_offset_permutation`, pinned to ME 0.5 kernel_region.hpp semantics by
+tests/test_golden_reference.py::test_me_offset_permutation_semantics).
 
 All converters return flat {"a/b/c": np.ndarray} dicts; merge into model
 params with `apply_flat_updates`.
