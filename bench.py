@@ -74,20 +74,110 @@ def main():
     model, variables, statics = init_model(cfg, batch, tiny=tiny)
     mc = model.cfg
 
+    from xmask3d_tpu.engine.infer import device_vote_add
+
+    n_classes = mc.num_test_classes
+
     @jax.jit
-    def infer_step(variables, batch, statics):
+    def infer_step(variables, batch, statics, votes, counter):
         _, outputs = model.apply(
             variables, batch, statics, train=False,
             rngs={"points": jax.random.PRNGKey(0)},
         )
-        return ensemble_and_route(
+        routed = ensemble_and_route(
             outputs, mc.base_category, mc.novel_category, mc.num_test_classes,
             cfg.base_ratio, cfg.novel_ratio,
-        )["pred"]
+        )
+        # multi-view voting stays ON DEVICE (reference infer.py:642-647);
+        # the host pulls one argmax per scene, not one prediction per view
+        pred = routed["pred"]
+        ids = jnp.broadcast_to(jnp.arange(pred.shape[1]), pred.shape)
+        return device_vote_add(
+            votes, counter, ids.reshape(-1), pred.reshape(-1),
+            batch["point_valid"].reshape(-1),
+        )
+
+    def fresh_vote_state():
+        return (
+            jnp.zeros((caps.max_points, n_classes), jnp.int32),
+            jnp.zeros((caps.max_points,), jnp.int32),
+        )
 
     # compile + warmup
-    pred = infer_step(variables, batch, statics)
-    pred.block_until_ready()
+    votes, counter = infer_step(variables, batch, statics, *fresh_vote_state())
+    jax.block_until_ready((votes, counter))
+
+    # BENCH_INCLUDE_HOST=1: the honest end-to-end mode — every view is
+    # built on the host DURING the timed window (synthetic stand-ins for
+    # load+voxelize+project+kernel-map build, the same host code path the
+    # real loader runs), prefetched by a worker pool (data/prefetch.py) and
+    # device_put'd, so the number includes host pipeline + H2D + device
+    # compute. Matches the reference's inference protocol cost model
+    # (run/infer.py: loader workers + per-view forward).
+    if os.environ.get("BENCH_INCLUDE_HOST", "0") == "1":
+        from xmask3d_tpu.data.prefetch import parallel_map_iterator
+
+        workers = int(os.environ.get("BENCH_HOST_WORKERS", "4"))
+
+        def build_view(seed):
+            b = synthetic_batch(
+                view_batch, caps, seed=seed, num_points=npts,
+                image_size=(image, image), mask_shape=tuple(cfg.mask_shape),
+                context_length=ctx, vocab_size=vocab,
+                device_hierarchy=device_hier,
+            )
+            return b
+
+        steps_per_scene = max(1, VIEWS_PER_SCENE // view_batch)
+
+        def seeds():
+            s = 1000
+            while True:
+                yield s
+                s += 1
+
+        def measure_host():
+            it = parallel_map_iterator(build_view, seeds(), workers=workers)
+            # warmup: one untimed scene fills the prefetch window
+            vc = fresh_vote_state()
+            for _ in range(steps_per_scene):
+                vc = infer_step(variables, jax.device_put(next(it)), statics, *vc)
+            np.asarray(vc[0].argmax(1))
+            t0 = time.time()
+            sink = 0
+            for s in range(NUM_SCENES):
+                ts = time.time()
+                vc = fresh_vote_state()
+                for _ in range(steps_per_scene):
+                    b = jax.device_put(next(it))
+                    vc = infer_step(variables, b, statics, *vc)
+                sink += int(np.asarray(vc[0].argmax(1)).sum())
+                print(f"# scene {s} (host incl.): {time.time() - ts:.2f}s", flush=True)
+            return NUM_SCENES / (time.time() - t0)
+
+        scenes_per_sec = None
+        for attempt in range(3):
+            try:
+                scenes_per_sec = measure_host()
+                break
+            except Exception as e:
+                print(f"# measurement attempt {attempt} failed: {e}", flush=True)
+                time.sleep(5)
+        if scenes_per_sec is None:
+            raise RuntimeError("benchmark failed after 3 attempts")
+        print(
+            json.dumps(
+                {
+                    "metric": "scene_inference_throughput_e2e",
+                    "value": round(scenes_per_sec, 5),
+                    "unit": "scenes/sec/chip",
+                    "vs_baseline": round(
+                        scenes_per_sec / A100_BASELINE_SCENES_PER_SEC, 3
+                    ),
+                }
+            )
+        )
+        return
 
     # stage a bounded window of distinct views and cycle it (models a
     # pipelined loader keeping a few batches in flight; the relay-backed
@@ -107,17 +197,20 @@ def main():
 
     def measure():
         # untimed warmup pass: first-touch of program workspace + buffers
+        vc = fresh_vote_state()
         for b in views:
-            np.asarray(infer_step(variables, b, statics))
+            vc = infer_step(variables, b, statics, *vc)
+        np.asarray(vc[0].argmax(1))
         t0 = time.time()
         sink = 0
         for s in range(NUM_SCENES):
             ts = time.time()
+            vc = fresh_vote_state()
             for i in range(steps_per_scene):
-                pred = infer_step(variables, views[i % len(views)], statics)
-                # force materialization: async dispatch queues (and
-                # relay-backed backends) cannot fake a host transfer
-                sink += int(np.asarray(pred).sum())
+                vc = infer_step(variables, views[i % len(views)], statics, *vc)
+            # one host transfer per scene: the voted per-point prediction
+            # (forces materialization of the whole scene's compute)
+            sink += int(np.asarray(vc[0].argmax(1)).sum())
             print(f"# scene {s}: {time.time() - ts:.2f}s", flush=True)
         return NUM_SCENES / (time.time() - t0)
 

@@ -16,17 +16,27 @@ from xmask3d_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def bench_fn(name, fn, *args, n=5):
-    out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out
+_SYNC_FLOOR = [0.0]
+
+
+def bench_fn(name, fn, *args, n=20):
+    """Times fn with a scalar-sum sink (one tiny D2H per iteration) and
+    subtracts the measured dispatch+sync floor — on relay-backed dev
+    backends the floor is tens of ms and would otherwise swamp every
+    component number."""
+    f = jax.jit(
+        lambda *a: sum(
+            jnp.sum(x).astype(jnp.float32)
+            for x in jax.tree_util.tree_leaves(fn(*a))
+            if hasattr(x, "dtype")
+        )
     )
+    s = float(np.asarray(f(*args)))  # compile + warm
     t0 = time.time()
     for _ in range(n):
-        out = fn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
-    dt = (time.time() - t0) / n
-    print(f"{name:32s} {dt * 1e3:9.1f} ms")
+        s += float(np.asarray(f(*args)))
+    dt = max(0.0, (time.time() - t0) / n - _SYNC_FLOOR[0])
+    print(f"{name:32s} {dt * 1e3:9.1f} ms", flush=True)
     return dt
 
 
@@ -34,10 +44,11 @@ def main():
     print("backend:", jax.default_backend(), jax.devices())
     key = jax.random.PRNGKey(0)
 
-    # 0. dispatch round trip
+    # 0. dispatch round trip — becomes the sync floor subtracted from
+    # every component number below
     f_id = jax.jit(lambda x: x + 1)
     x = jnp.zeros((8, 128))
-    bench_fn("dispatch+D2H roundtrip", f_id, x, n=20)
+    _SYNC_FLOOR[0] = bench_fn("dispatch+D2H roundtrip (floor)", f_id, x, n=30)
 
     # 1. SD VAE encoder (512^2)
     from xmask3d_tpu.models.vae import AutoencoderKL, VAEConfig

@@ -78,3 +78,28 @@ def test_per_view_fill_changes_pred_2d():
         base_category=(0, 1), novel_category=(),
     )
     assert np.asarray(pred_nofill)[0, 2] == 0  # fill changed this one
+
+
+def test_device_vote_add_matches_host_voter():
+    import jax.numpy as jnp
+
+    from xmask3d_tpu.engine.infer import SceneVoter, device_vote_add
+
+    rng = np.random.RandomState(0)
+    P, C = 50, 7
+    host = SceneVoter(P, C)
+    votes = jnp.zeros((P, C), jnp.int32)
+    counter = jnp.zeros((P,), jnp.int32)
+    for _ in range(4):
+        ids = rng.randint(0, P, size=30)
+        # host voter indexes with unique ids per view (reference semantics:
+        # mask_2d selects each visible point once per view)
+        ids = np.unique(ids)
+        preds = rng.randint(0, C, size=len(ids))
+        valid = rng.rand(len(ids)) > 0.2
+        host.add_view(ids[valid], preds[valid])
+        votes, counter = device_vote_add(
+            votes, counter, jnp.asarray(ids), jnp.asarray(preds), jnp.asarray(valid)
+        )
+    np.testing.assert_array_equal(np.asarray(votes), host.votes)
+    np.testing.assert_array_equal(np.asarray(counter), host.counter)

@@ -44,3 +44,44 @@ def test_minkunet_train_mode_updates_batch_stats():
         not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
     )
     assert changed
+
+
+def test_masked_batchnorm_matches_torch_running_stats():
+    """Torch updates running_var with the UNBIASED estimator while
+    normalizing with the biased one (torch BatchNorm1d semantics; ME's
+    MinkowskiBatchNorm wraps torch BN). Eval-mode output after one train
+    step must therefore match torch exactly for converted checkpoints."""
+    import torch
+
+    from xmask3d_tpu.models.minkunet import MaskedBatchNorm
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 17, 5).astype(np.float32)
+
+    bn = MaskedBatchNorm()
+    variables = bn.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.ones((2, 17), bool), train=True
+    )
+    _, mutated = bn.apply(
+        variables,
+        jnp.asarray(x),
+        jnp.ones((2, 17), bool),
+        train=True,
+        mutable=["batch_stats"],
+    )
+    variables = {**variables, "batch_stats": mutated["batch_stats"]}
+    y_eval = bn.apply(variables, jnp.asarray(x), jnp.ones((2, 17), bool), train=False)
+
+    tbn = torch.nn.BatchNorm1d(5, momentum=0.1)
+    tbn.train()
+    xt = torch.from_numpy(x.reshape(-1, 5))
+    tbn(xt)
+    tbn.eval()
+    yt = tbn(xt).detach().numpy().reshape(2, 17, 5)
+
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]),
+        tbn.running_var.numpy(),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(y_eval), yt, atol=1e-5, rtol=1e-5)

@@ -109,3 +109,48 @@ def test_scene_views_loader(mini_dataset):
     assert v["visible"].sum() == len(v["sample"].labels_3d)
     # val labels are NOT compacted
     assert set(np.unique(v["sample"].labels_3d)) <= set(range(19)) | {20}
+
+
+def test_scannet200_loader_remap(mini_dataset):
+    """ScanNet200 branch: per-point labels come from the scannet_3d_200 .txt
+    sidecar, raw ids outside label_2d are masked to ignore, kept ids remap to
+    contiguous; 2D labels read from label_200/ (reference
+    data_loader.py:94-111 and the label_200 image dir)."""
+    import imageio.v2 as imageio
+
+    root = mini_dataset
+    # raw 200-vocabulary ids for a 5-class mini benchmark
+    ids200 = [2, 5, 7, 31, 44]
+    d200 = root / "scannet_3d_200" / "train"
+    d200.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(3)
+    n = 4000
+    raw = rng.choice(ids200 + [99, 123], size=n).astype(np.float64)
+    np.savetxt(d200 / "scene0000_00.txt", raw)
+
+    lbl_dir = root / "scannet_2d" / "scene0000_00" / "label_200"
+    lbl_dir.mkdir(exist_ok=True)
+    lbl = rng.choice(ids200, size=(480, 640)).astype(np.uint8)
+    imageio.imwrite(lbl_dir / "0.png", lbl)
+
+    cfg = ScanNetConfig(
+        data_root=str(root / "scannet_3d"),
+        data_root_2d=str(root / "scannet_2d"),
+        caption_path=str(root / "caption.json"),
+        label_2d=ids200,
+        base_category=[0, 1, 2],
+        novel_category=[3, 4],
+        ignore_category=[5, 6],
+        voxel_size=0.05,
+        split="train",
+        loop=1,
+        scannet200=True,
+    )
+    caps = Capacities(max_points=4096, max_voxels=4096, max_targets=24)
+    ds = ScanNetViews(cfg, caps, HashTokenizer(), seed=0)
+    s = ds.get(0)
+    # novel ids {3,4} masked + compacted: base ids end up in 0..2, the
+    # ignore sentinel 6 compacts to 6 - len(novel+first_ignore) = 3
+    assert set(np.unique(s.labels_3d)) <= {0, 1, 2, 3}
+    # 2D labels remapped from raw 200-vocab ids to contiguous 0..4
+    assert set(np.unique(s.label_2d)) <= set(range(5)) | {6}

@@ -1,0 +1,96 @@
+"""Pallas sparse-conv kernel vs the XLA formulation.
+
+The XLA formulation (ops/sparse_conv.sparse_conv) is itself oracle-tested
+against a naive per-voxel loop in tests/test_sparse_conv.py; here the Pallas
+band masked-matmul kernel (interpret mode on CPU) must match it, including
+missing neighbors (-1), padded tails, and the kernel-5 stem's 125 taps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xmask3d_tpu.ops.sparse_conv import _offsets, build_hierarchy, sparse_conv
+from xmask3d_tpu.ops.sparse_conv_pallas import sparse_conv_pallas
+
+
+def _case(seed, n=300, cap=384, cin=8, cout=16, kernel=3):
+    rng = np.random.RandomState(seed)
+    coords = np.unique(rng.randint(0, 16, size=(n, 3)).astype(np.int32), axis=0)
+    h = build_hierarchy(coords, [cap, cap // 2, cap // 4, cap // 8, cap // 16])
+    kmap = h.kmap5 if kernel == 5 else h.levels[0].kmap3
+    k = kmap.shape[0]
+    feats = rng.randn(1, cap, cin).astype(np.float32)
+    feats[0, len(coords):] = 0.0
+    w = rng.randn(k, cin, cout).astype(np.float32) * 0.1
+    valid = np.zeros((1, cap), bool)
+    valid[0, : len(coords)] = True
+    return (
+        jnp.asarray(feats),
+        jnp.asarray(w),
+        jnp.asarray(kmap)[None],
+        jnp.asarray(valid),
+    )
+
+
+@pytest.mark.parametrize("kernel", [3, 5])
+def test_pallas_spconv_matches_xla(kernel):
+    feats, w, kmap, valid = _case(0, kernel=kernel)
+    ref = sparse_conv(feats, w, kmap, out_valid=valid)
+    out = sparse_conv_pallas(feats, w, kmap, out_valid=valid, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_spconv_bias_and_small_qtile():
+    feats, w, kmap, valid = _case(1, cin=16, cout=8)
+    bias = jnp.arange(8, dtype=jnp.float32) * 0.01
+    ref = sparse_conv(feats, w, kmap, bias=bias, out_valid=valid)
+    out = sparse_conv_pallas(
+        feats, w, kmap, bias=bias, out_valid=valid, q_tile=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_spconv_downsample_shape():
+    """K=8 down-conv maps level-0 feats to level-1 voxels (V_out != V_in)."""
+    rng = np.random.RandomState(2)
+    coords = np.unique(rng.randint(0, 16, size=(300, 3)).astype(np.int32), axis=0)
+    h = build_hierarchy(coords, [384, 192, 96, 48, 24])
+    feats = jnp.asarray(rng.randn(1, 384, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(8, 8, 16).astype(np.float32) * 0.1)
+    kmap = jnp.asarray(h.down[0])[None]  # (1, 8, 192)
+    ref = sparse_conv(feats, w, kmap)
+    out = sparse_conv_pallas(feats, w, kmap, interpret=True)
+    assert out.shape == (1, 192, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_spconv_bf16():
+    feats, w, kmap, valid = _case(3)
+    f16, w16 = feats.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    ref = sparse_conv(f16, w16, kmap, out_valid=valid)
+    out = sparse_conv_pallas(f16, w16, kmap, out_valid=valid, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.15, rtol=0.1
+    )
+
+
+def test_pallas_spconv_grad_matches_xla():
+    """The hybrid custom-vjp backward must equal the XLA formulation's grad."""
+    from xmask3d_tpu.ops.sparse_conv_pallas import _spconv_bwd
+
+    feats, w, kmap, valid = _case(4, n=80, cap=128)
+
+    def loss_xla(f, ww):
+        return jnp.sum(sparse_conv(f, ww, kmap) ** 2)
+
+    gf, gw = jax.grad(loss_xla, argnums=(0, 1))(feats, w)
+    # residuals as _spconv_fwd saves them (the primal inputs); the forward
+    # itself is covered by the interpret-mode tests above
+    res = (feats, w, kmap.astype(jnp.float32))
+    g = 2.0 * np.asarray(sparse_conv(feats, w, kmap))
+    df, dw, _ = _spconv_bwd(res, jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(df), np.asarray(gf), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(gw), atol=1e-4, rtol=1e-4)

@@ -64,3 +64,41 @@ def test_train_forward_losses(tiny_setup):
         if not k.startswith("metric_"):
             assert np.asarray(v).ndim == 0, k
     assert "metric_train_inter" in losses  # train-time IoU meters
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "config",
+    [
+        "configs/scannet/xmask3d_scannet_B12N7.yaml",
+        "configs/scannet/xmask3d_scannet_B10N9.yaml",
+    ],
+)
+def test_other_benchmark_configs_end_to_end(config):
+    """B12N7 / B10N9 category splits through the tiny end-to-end forward:
+    different base/novel partitions change CategoryEmbed text-bank sizes,
+    target compaction, and the routed logit column counts."""
+    cfg = load_config(config)
+    cfg.max_points = TINY_CAPS.max_points
+    cfg.max_voxels = TINY_CAPS.max_voxels
+    cfg.max_targets = TINY_CAPS.max_targets
+    cfg.mask_shape = [24, 32]
+    batch = synthetic_batch(
+        1, TINY_CAPS, seed=1, num_points=400, image_size=(64, 64),
+        mask_shape=(24, 32), context_length=16, vocab_size=512,
+        num_classes=cfg.classes,
+    )
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    model, variables, statics = init_model(cfg, batch, tiny=True)
+    (losses, _), _ = model.apply(
+        variables, batch, statics, train=True,
+        rngs={"points": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(np.asarray(losses["loss_ce"])).all()
+    _, outputs = model.apply(
+        variables, batch, statics, train=False,
+        rngs={"points": jax.random.PRNGKey(0)},
+    )
+    assert outputs["pred_logits"].shape == (1, 50, cfg.test_classes + 1)
+    assert np.isfinite(np.asarray(outputs["pred_logits"])).all()

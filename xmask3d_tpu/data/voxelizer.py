@@ -130,6 +130,13 @@ class Voxelizer:
         coords_aug = np.floor(coords_aug - coords_aug.min(0))
 
         inds, inds_reconstruct = sparse_quantize(coords_aug)
+        # NOTE on voxel order: np.unique over the packed key leaves voxels in
+        # lexicographic (x, y, z) scan order. That order is load-bearing for
+        # the Pallas sparse-conv kernel (ops/sparse_conv_pallas.py): a fixed
+        # kernel-tap offset shifts a voxel's rank by at most one x-slab /
+        # y-row, so kernel maps are band-local. (A Morton/Z-order layout was
+        # measured WORSE here — octant-boundary crossings make p95 bands ~3x
+        # wider on volumetric point sets.)
         coords_out = coords_aug[inds].astype(np.int32)
         feats_out = feats[inds]
         labels_out = labels[inds] if labels is not None else None

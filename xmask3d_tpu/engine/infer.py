@@ -174,6 +174,23 @@ def kdtree_fill(
     return out
 
 
+def device_vote_add(votes, counter, point_ids, preds, valid):
+    """On-device SceneVoter.add_view: one scatter-add per view.
+
+    votes (P, C) i32, counter (P,) i32 live in device HBM for the whole
+    scene; point_ids/preds/valid are per-view (N,). The TPU-native voting
+    design: the multi-view loop (reference infer.py:642-647) keeps its
+    state on device and transfers one argmax per scene instead of one
+    prediction per view — host<->device traffic is per-scene, not per-view.
+    """
+    import jax.numpy as jnp
+
+    upd = valid.astype(jnp.int32)
+    votes = votes.at[point_ids, preds].add(upd, mode="drop")
+    counter = counter.at[point_ids].add(upd, mode="drop")
+    return votes, counter
+
+
 class SceneVoter:
     """Multi-view per-point class voting for one scene
     (reference infer.py:395-427, 642-694)."""

@@ -22,9 +22,9 @@ from flax import linen as nn
 
 from xmask3d_tpu.ops.sparse_conv import (
     SparseHierarchy,
-    sparse_conv,
     sparse_conv_transpose,
 )
+from xmask3d_tpu.ops.sparse_conv_pallas import sparse_conv_auto
 
 
 def _kaiming_out(key, shape, dtype=jnp.float32):
@@ -38,8 +38,11 @@ def _kaiming_out(key, shape, dtype=jnp.float32):
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d over valid voxels of a (B, V, C) tensor.
 
-    Matches torch BatchNorm semantics (biased variance for normalization;
-    running stats updated with momentum 0.1). When `axis_name` is set and the
+    Matches torch BatchNorm semantics (biased variance for normalization,
+    **unbiased** variance for the running-stat update — torch's
+    torch.var(unbiased=True) convention — so eval numerics agree with
+    checkpoints trained under ME.MinkowskiBatchNorm; running stats updated
+    with momentum 0.1). When `axis_name` is set and the
     module runs inside shard_map/pmap, statistics are synced with psum —
     the TPU-native SyncBN.
     """
@@ -75,8 +78,11 @@ class MaskedBatchNorm(nn.Module):
             mean = s1 / cnt
             var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
             if not self.is_initializing():
+                var_unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var_unbiased
+                )
         else:
             mean, var = ra_mean.value, ra_var.value
 
@@ -114,7 +120,9 @@ class SparseConv(nn.Module):
             if out_valid is not None:
                 out = jnp.where(out_valid[..., None], out, 0)
             return out
-        return sparse_conv(x, w.astype(self.dtype), kmap, bias=b, out_valid=out_valid)
+        return sparse_conv_auto(
+            x, w.astype(self.dtype), kmap, bias=b, out_valid=out_valid
+        )
 
 
 class SparseConvTranspose(nn.Module):

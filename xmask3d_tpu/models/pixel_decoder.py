@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from xmask3d_tpu.models.layers import group_norm
 
-from xmask3d_tpu.ops.deform_attn import ms_deform_attn
+from xmask3d_tpu.ops.deform_attn import ms_deform_attn_auto as ms_deform_attn
 
 
 def position_embedding_sine(

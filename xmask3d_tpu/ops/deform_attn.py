@@ -11,10 +11,13 @@ sizes (sum(HW) = 256+1024+4096 at 512^2 inputs, 8 heads, 4 points).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def bilinear_sample_nhwc(
@@ -113,3 +116,268 @@ def ms_deform_attn(
             "bhqpd,bhqp->bqhd", sampled, wgt.astype(sampled.dtype)
         )
     return out.reshape(b, lq, heads * d)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel: gather-as-masked-matmul formulation
+# ---------------------------------------------------------------------------
+#
+# XLA lowers the tap gathers above to a dynamic-slice loop that runs at
+# ~15-70M rows/s on TPU — it dominates the whole pixel decoder (~200 ms of a
+# 269 ms view in round 1). The TPU-native fix: a sample's 4-tap gather from
+# the 2x2-stacked table is `onehot(idx) @ V4`, i.e. MXU work. The one-hot
+# matrix is built tile-wise in VMEM with one vector compare and is never
+# materialized in HBM; bilinear x attention weights are folded in afterwards
+# as 4 per-row scalings. Per 512^2 view this turns ~3.1M gather rows into
+# ~1.6 TFLOP of bf16 matmul — an order of magnitude faster on v5e.
+#
+# Matches the same reference op (ms_deform_attn_core_pytorch,
+# third_party .../functions/ms_deform_attn_func.py:52-72); the backward pass
+# reuses the XLA formulation's VJP (training step remains correct; the
+# kernel is the inference hot path).
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _deform_kernel(lo_ref, hi_ref, meta_ref, v4t_ref, out_ref, *, d: int):
+    """One (batch*head, query-tile) cell: out[:, q] = sum_tap w_tap * V[:, idx_tap].
+
+    Transposed layout — queries on LANES, channels/table rows on SUBLANES —
+    so every block DMA is contiguous and the matmul is MXU-shaped
+    (4d x 128tile) @ (128tile x QT). Deformable samples are LOCAL
+    (reference point + small learned offsets), so a tile of row-major-
+    adjacent queries touches only a narrow band of table rows; lo/hi
+    (scalar-prefetched, computed XLA-side per tile) bound the visited
+    128-row band and the provably all-zero one-hot tiles are skipped.
+
+    lo_ref/hi_ref: (BH, NQ) int32 in SMEM — inclusive 128-row tile bounds
+    meta_ref: (1, 8, QT) f32 — rows 0..3 folded bilinear x attention
+              weights, row 4 the flat table index (exact in f32; -1 = no
+              contribution), rows 5..7 padding (8-sublane tiling)
+    v4t_ref: (1, 4d, Tsum) value table, 2x2-shifted stack, all levels
+             concatenated along rows, zero padded
+    out_ref: (1, d, QT) f32
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t0 = lo_ref[i, j]
+    t1 = hi_ref[i, j]
+    qt = meta_ref.shape[2]
+    d4 = v4t_ref.shape[1]
+    meta = meta_ref[0]  # (8, QT)
+    idx = meta[4:5].astype(jnp.int32)  # (1, QT) — integers exact below 2^24
+
+    def body(t, acc):
+        c0 = pl.multiple_of(t * 128, 128)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) + c0
+        onehot = (rows == idx).astype(v4t_ref.dtype)  # (128, QT), <=1 hit/col
+        vt = v4t_ref[0, :, pl.ds(c0, 128)]  # (4d, 128)
+        return acc + jnp.dot(vt, onehot, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(
+        t0, t1 + 1, body, jnp.zeros((d4, qt), jnp.float32)
+    )  # empty range (t1 < t0) -> zeros
+    out = (
+        acc[0 * d : 1 * d] * meta[0:1]
+        + acc[1 * d : 2 * d] * meta[1:2]
+        + acc[2 * d : 3 * d] * meta[2:3]
+        + acc[3 * d : 4 * d] * meta[3:4]
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _deform_attn_fused_pallas(
+    v4t: jnp.ndarray,  # (BH, 4d, Tsum) stacked+concatenated table
+    meta: jnp.ndarray,  # (BH, 8, Qtot) f32: wq rows 0..3, idx row 4
+    *,
+    q_tile: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (BH, d, Qtot) f32. Qtot must be a q_tile multiple."""
+    bh, _, qtot = meta.shape
+    d4, tsum = v4t.shape[1], v4t.shape[2]
+    d = d4 // 4
+    nq = qtot // q_tile
+    nt = tsum // 128
+
+    # per-(bh, q-tile) inclusive bounds of touched 128-row table tiles
+    idx = meta[:, 4].astype(jnp.int32)
+    tiles = idx.reshape(bh, nq, q_tile) // 128
+    valid = idx.reshape(bh, nq, q_tile) >= 0
+    lo = jnp.where(valid, tiles, nt).min(axis=-1).astype(jnp.int32)
+    hi = jnp.where(valid, tiles, -1).max(axis=-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bh, nq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, q_tile), lambda i, j, lo, hi: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, d4, tsum), lambda i, j, lo, hi: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d, q_tile), lambda i, j, lo, hi: (i, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_deform_kernel, d=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, d, qtot), jnp.float32),
+        interpret=interpret,
+    )(lo, hi, meta, v4t)
+
+
+def _stack_v4(v: jnp.ndarray, hh: int, ww: int) -> jnp.ndarray:
+    """(BH, H*W, d) -> (BH, Tp, 4d) zero-padded 2x2-shifted stack; the four
+    bilinear taps of sample (x0, y0) live at padded index (y0+1)*(ww+1)+x0+1.
+    Tp is padded to a lane multiple so the kernel's iota columns line up."""
+    bh, _, d = v.shape
+    vm = v.reshape(bh, hh, ww, d)
+    vp = jnp.pad(vm, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    v4 = jnp.concatenate(
+        [
+            vp[:, : hh + 1, : ww + 1],
+            vp[:, : hh + 1, 1 : ww + 2],
+            vp[:, 1 : hh + 2, : ww + 1],
+            vp[:, 1 : hh + 2, 1 : ww + 2],
+        ],
+        axis=-1,
+    ).reshape(bh, (hh + 1) * (ww + 1), 4 * d)
+    tp = _round_up((hh + 1) * (ww + 1), 128)
+    return jnp.pad(v4, ((0, 0), (0, tp - v4.shape[1]), (0, 0)))
+
+
+def ms_deform_attn_pallas(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    *,
+    q_tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas forward of `ms_deform_attn` (same contract/semantics).
+
+    One fused kernel call per attention layer: every level's 2x2-stacked
+    table is concatenated into a single (BH, 4d, Tsum) VMEM-resident value
+    bank and every (level, point) sample becomes one one-hot matmul column.
+    """
+    b, _, heads, d = value.shape
+    lq = sampling_locations.shape[1]
+    npts = sampling_locations.shape[4]
+    bh = b * heads
+    q = lq * npts
+    qp = _round_up(q, q_tile)
+    offsets = [0]
+    for hh, ww in spatial_shapes:
+        offsets.append(offsets[-1] + hh * ww)
+
+    v4s, idxs, wqs = [], [], []
+    base = 0
+    for li, (hh, ww) in enumerate(spatial_shapes):
+        v = value[:, offsets[li] : offsets[li + 1]]
+        v = v.transpose(0, 2, 1, 3).reshape(bh, hh * ww, d)
+        v4 = _stack_v4(v, hh, ww)  # (BH, Tp, 4d)
+        v4s.append(v4)
+
+        loc = sampling_locations[:, :, :, li]  # (B, Lq, heads, P, 2)
+        px = (loc[..., 0] * ww - 0.5).astype(jnp.float32)
+        py = (loc[..., 1] * hh - 0.5).astype(jnp.float32)
+        px = px.transpose(0, 2, 1, 3).reshape(bh, q)
+        py = py.transpose(0, 2, 1, 3).reshape(bh, q)
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        dx = px - x0
+        dy = py - y0
+        inb = (x0 >= -1) & (x0 < ww) & (y0 >= -1) & (y0 < hh)
+        xi = jnp.clip(x0 + 1, 0, ww).astype(jnp.int32)
+        yi = jnp.clip(y0 + 1, 0, hh).astype(jnp.int32)
+        idx = jnp.where(inb, jnp.float32(base) + yi * (ww + 1) + xi, -1.0)
+        base += v4.shape[1]
+
+        aw = attention_weights[:, :, :, li].transpose(0, 2, 1, 3)
+        aw = aw.reshape(bh, q).astype(jnp.float32)
+        meta = jnp.stack(
+            [
+                (1 - dx) * (1 - dy) * aw,
+                dx * (1 - dy) * aw,
+                (1 - dx) * dy * aw,
+                dx * dy * aw,
+                idx,
+                jnp.zeros_like(aw),
+                jnp.zeros_like(aw),
+                jnp.zeros_like(aw),
+            ],
+            axis=1,
+        )  # (BH, 8, Q)
+        wqs.append(
+            jnp.pad(meta, ((0, 0), (0, 0), (0, qp - q)), constant_values=-1.0)
+        )
+
+    v4t = jnp.concatenate(v4s, axis=1).swapaxes(1, 2)  # (BH, 4d, Tsum)
+    meta_all = jnp.concatenate(wqs, axis=2)  # (BH, 8, L*Qp)
+
+    sampled = _deform_attn_fused_pallas(
+        v4t, meta_all, q_tile=q_tile, interpret=interpret
+    )  # (BH, d, L*Qp) f32
+
+    nl = len(spatial_shapes)
+    sampled = sampled.reshape(bh, d, nl, qp)[:, :, :, :q]
+    out = sampled.reshape(b, heads, d, nl, lq, npts).sum(axis=(3, 5))
+    return out.transpose(0, 3, 1, 2).reshape(b, lq, heads * d).astype(value.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _ms_deform_attn_hybrid(value, spatial_shapes, sampling_locations, attention_weights):
+    return ms_deform_attn_pallas(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )
+
+
+def _hybrid_fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = ms_deform_attn_pallas(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _hybrid_bwd(spatial_shapes, res, g):
+    value, sampling_locations, attention_weights = res
+    _, vjp = jax.vjp(
+        lambda v, s, a: ms_deform_attn(v, spatial_shapes, s, a),
+        value,
+        sampling_locations,
+        attention_weights,
+    )
+    return vjp(g)
+
+
+_ms_deform_attn_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+def ms_deform_attn_auto(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pallas kernel on TPU (XLA-VJP backward), XLA formulation elsewhere.
+
+    XMASK3D_DEFORM_IMPL=xla forces the XLA formulation (A/B benching).
+    """
+    import os
+
+    impl = os.environ.get("XMASK3D_DEFORM_IMPL", "pallas")
+    if impl != "xla" and jax.default_backend() != "cpu":  # tpu / axon relay
+        return _ms_deform_attn_hybrid(
+            value, tuple(spatial_shapes), sampling_locations, attention_weights
+        )
+    return ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights)
