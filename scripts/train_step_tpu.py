@@ -1,0 +1,82 @@
+"""Run real training steps on the current backend (TPU) and time them.
+
+Round-1 note: train-step RE-execution crashed the relay-backed dev TPU
+worker (NOTES_ROUND2.md item 3); this script is the repro/retest. It runs
+N steps of the jitted full train step (fwd+bwd+AdamW update) on synthetic
+data and reports compile time, per-step wall time, and loss trajectory.
+
+  python scripts/train_step_tpu.py            # reduced-depth model (fast)
+  python scripts/train_step_tpu.py --full     # flagship-size model
+  python scripts/train_step_tpu.py --steps 10
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from xmask3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true", help="flagship-size model")
+    ap.add_argument("--steps", type=int, default=5)
+    args = ap.parse_args()
+
+    import __graft_entry__ as g
+    from xmask3d_tpu.engine.builder import init_model
+    from xmask3d_tpu.engine.train_step import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+
+    if args.full:
+        cfg, caps, batch = g._tiny_cfg_and_batch(
+            caps_points=32768, caps_voxels=24576, caps_targets=24,
+            image=512, batch=1,
+        )
+        cfg.mask_shape = [240, 320]
+        model, variables, statics = init_model(cfg, batch)
+    else:
+        cfg, caps, batch = g._tiny_cfg_and_batch()
+        cfg.arch_3d = "MinkUNet14A"
+        cfg.arch_binary_head = "MinkUNet14A"
+        cfg.dec_layers = 2
+        cfg.pixel_enc_layers = 2
+        model, variables, statics = init_model(cfg, batch, tiny=True)
+
+    optimizer = make_optimizer(cfg.lr_3d, cfg.lr_others, total_steps=1000)
+    state = create_train_state(model, variables, optimizer)
+    train_step = jax.jit(
+        make_train_step(model, optimizer, dict(cfg.loss_weight)),
+        donate_argnums=(0,),
+    )
+    statics = jax.tree_util.tree_map(jnp.asarray, statics)
+
+    t0 = time.time()
+    state, metrics = train_step(state, batch, statics, jnp.asarray(1.0))
+    loss = float(metrics["loss_total"])
+    print(f"step 0 (compile+run {time.time() - t0:.1f}s): loss={loss:.4f}", flush=True)
+
+    for i in range(1, args.steps):
+        t0 = time.time()
+        state, metrics = train_step(state, batch, statics, jnp.asarray(1.0))
+        loss = float(metrics["loss_total"])
+        print(f"step {i}: {time.time() - t0:.3f}s loss={loss:.4f}", flush=True)
+        assert loss == loss, "NaN loss"
+
+    print("train steps OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,11 +20,31 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xmask3d_tpu.ops.brick_conv import (
+    brick_conv,
+    from_brick,
+    level_brick,
+    to_brick,
+)
 from xmask3d_tpu.ops.sparse_conv import (
     SparseHierarchy,
     sparse_conv_transpose,
 )
 from xmask3d_tpu.ops.sparse_conv_pallas import sparse_conv_auto
+
+
+def _bricks_enabled() -> bool:
+    """XMASK3D_BRICK=1 opts into the brick-dense conv path (ops/brick_conv).
+
+    Default OFF: on v5e the brick formulation measured ~1.7x slower per conv
+    and ~5x slower in-net than the gather/Pallas path (XLA materializes the
+    27 shifted-window slices at C=32 minor-dim, and per-stage layout
+    conversions dominate at the small deep-level voxel counts) — see
+    BASELINE.md round-2 notes. Kept as a numerically-exact A/B alternative;
+    a fused Pallas halo+conv kernel is the path to making it win."""
+    import os
+
+    return os.environ.get("XMASK3D_BRICK", "0") == "1"
 
 
 def _kaiming_out(key, shape, dtype=jnp.float32):
@@ -100,7 +120,9 @@ class SparseConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, kmap: Optional[jnp.ndarray], out_valid=None):
+    def __call__(
+        self, x: jnp.ndarray, kmap: Optional[jnp.ndarray], out_valid=None, brick=None
+    ):
         w = self.param(
             "kernel", _kaiming_out, (self.num_offsets, x.shape[-1], self.features)
         )
@@ -120,6 +142,13 @@ class SparseConv(nn.Module):
             if out_valid is not None:
                 out = jnp.where(out_valid[..., None], out, 0)
             return out
+        if brick is not None and self.num_offsets in (27, 125):
+            # brick-dense path: x/out are in the (B, NB*64, C) layout and
+            # out_valid is the slot-validity mask (ops/brick_conv.py)
+            nbr27, _, _ = brick
+            return brick_conv(
+                x, w.astype(self.dtype), nbr27, slot_valid=out_valid, bias=b
+            )
         return sparse_conv_auto(
             x, w.astype(self.dtype), kmap, bias=b, out_valid=out_valid
         )
@@ -151,17 +180,17 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, kmap3, valid, train: bool):
+    def __call__(self, x, kmap3, valid, train: bool, brick=None):
         residual = x
         out = SparseConv(self.planes, 27, dtype=self.dtype, name="conv1")(
-            x, kmap3, out_valid=valid
+            x, kmap3, out_valid=valid, brick=brick
         )
         out = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="norm1")(
             out, valid, train
         )
         out = nn.relu(out)
         out = SparseConv(self.planes, 27, dtype=self.dtype, name="conv2")(
-            out, kmap3, out_valid=valid
+            out, kmap3, out_valid=valid, brick=brick
         )
         out = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="norm2")(
             out, valid, train
@@ -193,10 +222,25 @@ class MinkUNet(nn.Module):
     dtype: Any = jnp.float32
 
     def _stage(self, x, planes, n_blocks, level, train, name):
+        """A run of residual blocks at one hierarchy level.
+
+        When the level carries brick metadata, the whole stage runs in the
+        brick-dense layout (one scatter in, one gather out) so every kernel-3
+        conv inside is a dense MXU conv instead of 27 row gathers."""
+        brick = level_brick(level) if _bricks_enabled() else None
+        if brick is not None:
+            _, sor, sv = brick
+            x = to_brick(x, sor, sv.shape[-1])
+            valid = sv
+        else:
+            valid = level.valid
         for i in range(n_blocks):
             x = BasicBlock(
                 planes, axis_name=self.axis_name, dtype=self.dtype, name=f"{name}_{i}"
-            )(x, level.kmap3, level.valid, train)
+            )(x, level.kmap3, valid, train, brick=brick)
+        if brick is not None:
+            x = from_brick(x, sor)
+            x = jnp.where(level.valid[..., None], x, 0)
         return x
 
     @nn.compact
@@ -210,11 +254,22 @@ class MinkUNet(nn.Module):
         def bn(name):
             return MaskedBatchNorm(axis_name=ax, dtype=dt, name=name)
 
-        # stem: kernel-5 conv at stride 1
-        x = SparseConv(self.init_dim, h.kmap5.shape[1], dtype=dt, name="conv0")(
-            x, h.kmap5, out_valid=lv[0].valid
-        )
-        out_p1 = nn.relu(bn("bn0")(x, lv[0].valid, train))
+        # stem: kernel-5 conv at stride 1 (brick-dense when metadata present:
+        # the 125-tap map was the single most gather-heavy op in the net)
+        brick0 = level_brick(lv[0]) if _bricks_enabled() else None
+        if brick0 is not None:
+            _, sor0, sv0 = brick0
+            x = to_brick(x, sor0, sv0.shape[-1])
+            x = SparseConv(self.init_dim, h.kmap5.shape[1], dtype=dt, name="conv0")(
+                x, h.kmap5, out_valid=sv0, brick=brick0
+            )
+            x = nn.relu(bn("bn0")(x, sv0, train))
+            out_p1 = jnp.where(lv[0].valid[..., None], from_brick(x, sor0), 0)
+        else:
+            x = SparseConv(self.init_dim, h.kmap5.shape[1], dtype=dt, name="conv0")(
+                x, h.kmap5, out_valid=lv[0].valid
+            )
+            out_p1 = nn.relu(bn("bn0")(x, lv[0].valid, train))
 
         skips = [out_p1]
         x = out_p1

@@ -1,0 +1,136 @@
+"""Brick-dense sparse convolution: the TPU-native k3/k5 conv formulation.
+
+Scene voxels are 2D surfaces embedded in 3D, so 4x4x4 spatial bricks run at
+~15-25% slot occupancy. Grouping voxels into bricks turns a Minkowski-style
+kernel-3/5 convolution into a DENSE batched 3D convolution over halo'd
+bricks:
+
+    compact (B, V, C) --scatter--> bricks (B, NB, 4,4,4, C)
+    halo: 26 small neighbor-slab gathers + concat -> (B, NB, 4+2r, ..., C)
+    K shifted-window MXU matmuls (VALID conv)     -> (B, NB, 4,4,4, C_out)
+
+Empty slots hold zeros and absent neighbor bricks contribute zero slabs, so
+the result on occupied voxels is numerically identical to the gather-table
+formulation (ops/sparse_conv.sparse_conv) and to ME.MinkowskiConvolution
+(reference mink_unet.py:47-115) — submanifold semantics via the
+`slot_valid` output mask. What changes is the machine mapping: per-tap row
+gathers (~70-180M rows/s on TPU, the round-1 bottleneck) are replaced by
+one MXU conv whose im2col contraction has K = taps x C_in, plus
+neighbor-slab gathers that touch only the 152-slot halo shell per brick
+instead of 27 full rows per voxel.
+
+Layout conversion costs two V-row scatter/gathers and is amortized per
+STAGE (a run of residual blocks at one level converts once, not per conv)
+— see models/minkunet.py. All ops are plain XLA, so CPU tests exercise the
+identical code path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from xmask3d_tpu.ops.sparse_conv import SparseLevel, gather_voxels
+
+
+def to_brick(feats: jnp.ndarray, slot_of_rank: jnp.ndarray, n_slots: int) -> jnp.ndarray:
+    """Scatter compact (B, V, C) rows into the brick-dense (B, NB*64, C)
+    layout. Rows with slot -1 (padding / overflowed bricks) are dropped."""
+    b, _, c = feats.shape
+    out = jnp.zeros((b, n_slots, c), feats.dtype)
+    bi = jnp.arange(b)[:, None]
+    return out.at[bi, slot_of_rank].set(feats, mode="drop")
+
+
+def from_brick(bricks: jnp.ndarray, slot_of_rank: jnp.ndarray) -> jnp.ndarray:
+    """Gather brick-dense rows back to the compact layout (-1 -> zeros)."""
+    return gather_voxels(bricks, slot_of_rank)
+
+
+def brick_halo(bricks: jnp.ndarray, nbr27: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Assemble (B, NB, 4+2r, 4+2r, 4+2r, C) halo'd bricks.
+
+    Exact 26-neighbor assembly: for every non-center offset only the needed
+    slab (face / edge / corner of the halo shell) is sliced out of the brick
+    array and row-gathered through the neighbor table; the halo is then
+    stitched with hierarchical concatenates (z rows -> y planes -> x cube),
+    which XLA emits as one fused write — no repeated full-buffer scatters."""
+    b, n_slots, c = bricks.shape
+    nb = n_slots // 64
+    bf = bricks.reshape(b, nb, 4, 4, 4, c)
+
+    def src(d):
+        if d == -1:
+            return slice(4 - r, 4)
+        if d == 1:
+            return slice(0, r)
+        return slice(0, 4)
+
+    def piece(dx, dy, dz):
+        if (dx, dy, dz) == (0, 0, 0):
+            return bf
+        o = (dx + 1) * 9 + (dy + 1) * 3 + (dz + 1)
+        slab = bf[:, :, src(dx), src(dy), src(dz), :]
+        sh = slab.shape
+        gathered = gather_voxels(slab.reshape(b, nb, -1), nbr27[:, o])
+        return gathered.reshape(sh)
+
+    rows = [
+        jnp.concatenate([piece(dx, dy, -1), piece(dx, dy, 0), piece(dx, dy, 1)], axis=4)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    planes = [
+        jnp.concatenate(rows[3 * i : 3 * i + 3], axis=3) for i in range(3)
+    ]
+    return jnp.concatenate(planes, axis=2)
+
+
+def brick_conv(
+    bricks: jnp.ndarray,  # (B, NB*64, C_in) brick-dense
+    weights: jnp.ndarray,  # (K, C_in, C_out), K in {27, 125}
+    nbr27: jnp.ndarray,  # (B, 27, NB)
+    slot_valid: Optional[jnp.ndarray] = None,  # (B, NB*64)
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dense halo'd conv on brick-layout features -> brick-layout output.
+
+    Weight tap order is the builder's `_offsets` enumeration (last axis
+    fastest), which is exactly the (kx, ky, kz) reshape of a VALID conv."""
+    k, cin, cout = weights.shape
+    ks = round(k ** (1.0 / 3.0))
+    assert ks**3 == k, f"brick_conv needs a cubic tap count, got {k}"
+    r = ks // 2
+    b, n_slots, _ = bricks.shape
+
+    halo = brick_halo(bricks, nbr27, r)
+    # K shifted-window matmuls instead of lax 3D conv: each tap's input is a
+    # static (4,4,4) window slice of the halo, contracted on the MXU with
+    # huge M (= B*NB*64 rows); XLA fuses the strided slice into the matmul
+    # read, so nothing beyond the halo is materialized. This lowers far
+    # better on TPU than conv_general_dilated at tiny spatial dims.
+    wts = weights.astype(bricks.dtype)
+    out = None
+    for t, (i, j, l) in enumerate(np.ndindex(ks, ks, ks)):
+        win = halo[:, :, i : i + 4, j : j + 4, l : l + 4, :].reshape(
+            b, n_slots, cin
+        )
+        y = jnp.einsum(
+            "bvc,co->bvo", win, wts[t], preferred_element_type=bricks.dtype
+        )
+        out = y if out is None else out + y
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    if slot_valid is not None:
+        out = jnp.where(slot_valid[..., None], out, 0)
+    return out
+
+
+def level_brick(level: SparseLevel):
+    """The level's brick metadata triple, or None when the hierarchy was
+    built without bricks (e.g. the on-device builder)."""
+    if level.nbr27 is None or level.slot_of_rank is None:
+        return None
+    return level.nbr27, level.slot_of_rank, level.slot_valid

@@ -48,12 +48,24 @@ from flax import struct
 
 @struct.dataclass
 class SparseLevel:
-    """One stride level of the voxel hierarchy (static capacity)."""
+    """One stride level of the voxel hierarchy (static capacity).
+
+    The optional brick fields describe the level's 4x4x4 brick-dense layout
+    (ops/brick_conv.py): real scene voxels are 2D surfaces, so grouping them
+    into 4^3 spatial bricks yields ~15-25% slot occupancy, and a kernel-3/5
+    conv becomes a dense batched 3D conv over halo'd bricks — pure MXU work
+    instead of per-tap gathers. `slot_of_rank[v] = brick*64 + slot` (-1 for
+    voxels whose brick overflowed `nb_cap`), `nbr27[o, b]` is the brick index
+    of brick b's o-th 3^3 neighbor (-1 absent), `slot_valid` marks occupied
+    slots in the (nb_cap*64,) brick-dense array."""
 
     coords: jnp.ndarray  # (V, 3) int32, zero-padded
     valid: jnp.ndarray  # (V,) bool
     kmap3: jnp.ndarray  # (27, V) int32 gather map for kernel-3 convs, -1 pad
     num: jnp.ndarray  # () int32, actual voxel count
+    nbr27: Optional[jnp.ndarray] = None  # (27, NB) int32 brick neighbors
+    slot_of_rank: Optional[jnp.ndarray] = None  # (V,) int32, -1 dropped
+    slot_valid: Optional[jnp.ndarray] = None  # (NB*64,) bool
 
 
 @struct.dataclass
@@ -132,11 +144,48 @@ def _build_kmap(
     return kmap
 
 
+def brick_metadata(
+    coords: np.ndarray, stride: int, nb_cap: int, v_cap: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side 4x4x4 brick layout for one level (see SparseLevel docs).
+
+    Returns (nbr27 (27, nb_cap), slot_of_rank (v_cap,), slot_valid
+    (nb_cap*64,)). Bricks are kept in packed-key scan order; bricks beyond
+    nb_cap are dropped (their voxels get slot -1 — same drop semantics as
+    the per-level voxel capacities)."""
+    n = len(coords)
+    cu = coords.astype(np.int64) // stride
+    bid = cu // 4
+    slot = cu - bid * 4
+    slot_id = (slot[:, 0] * 16 + slot[:, 1] * 4 + slot[:, 2]).astype(np.int64)
+
+    keys = _pack(bid.astype(np.int32))
+    ukeys, first, binv = np.unique(keys, return_index=True, return_inverse=True)
+    nb = min(len(ukeys), nb_cap)
+
+    slot_of_rank = np.full((v_cap,), -1, np.int32)
+    keep = binv < nb_cap
+    slot_of_rank[:n][keep] = (binv[keep] * 64 + slot_id[keep]).astype(np.int32)
+
+    ubid = bid[first[:nb]]  # brick coords aligned with sorted key order
+    order = np.arange(len(ukeys), dtype=np.int32)
+    nbr27 = np.full((27, nb_cap), -1, np.int32)
+    for o, off in enumerate(_offsets(3, 1)):
+        q = _pack((ubid + off[None, :]).astype(np.int32))
+        hit = _lookup(ukeys, order, q)
+        nbr27[o, :nb] = np.where(hit < nb_cap, hit, -1)
+
+    slot_valid = np.zeros((nb_cap * 64,), bool)
+    slot_valid[slot_of_rank[:n][keep]] = True
+    return nbr27, slot_of_rank, slot_valid
+
+
 def build_hierarchy(
     coords: np.ndarray,
     capacities: Sequence[int],
     num_levels: int = 5,
     stem_kernel: int = 5,
+    brick_divisor: int = 8,
 ) -> SparseHierarchy:
     """Build the full stride hierarchy + kernel maps for one voxelized sample.
 
@@ -218,8 +267,17 @@ def build_hierarchy(
         coords_pad[:n] = c
         valid = np.zeros((cap,), dtype=bool)
         valid[:n] = True
+        if brick_divisor:
+            nbr27, sor, sv = brick_metadata(
+                c, stride, max(16, cap // brick_divisor), cap
+            )
+        else:
+            nbr27 = sor = sv = None
         levels.append(
-            SparseLevel(coords=coords_pad, valid=valid, kmap3=kmap3, num=np.int32(n))
+            SparseLevel(
+                coords=coords_pad, valid=valid, kmap3=kmap3, num=np.int32(n),
+                nbr27=nbr27, slot_of_rank=sor, slot_valid=sv,
+            )
         )
         if lv == 0 and stem_kernel:
             kmap5 = make_kmap(0, c, _offsets(stem_kernel, 1), cap)
