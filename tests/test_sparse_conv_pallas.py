@@ -12,7 +12,12 @@ import numpy as np
 import pytest
 
 from xmask3d_tpu.ops.sparse_conv import _offsets, build_hierarchy, sparse_conv
-from xmask3d_tpu.ops.sparse_conv_pallas import sparse_conv_pallas
+from xmask3d_tpu.ops.sparse_conv_pallas import (
+    sparse_conv_pallas,
+    sparse_conv_pallas_v2,
+)
+
+IMPLS = [sparse_conv_pallas, sparse_conv_pallas_v2]
 
 
 def _case(seed, n=300, cap=384, cin=8, cout=16, kernel=3):
@@ -34,19 +39,21 @@ def _case(seed, n=300, cap=384, cin=8, cout=16, kernel=3):
     )
 
 
+@pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("kernel", [3, 5])
-def test_pallas_spconv_matches_xla(kernel):
+def test_pallas_spconv_matches_xla(kernel, impl):
     feats, w, kmap, valid = _case(0, kernel=kernel)
     ref = sparse_conv(feats, w, kmap, out_valid=valid)
-    out = sparse_conv_pallas(feats, w, kmap, out_valid=valid, interpret=True)
+    out = impl(feats, w, kmap, out_valid=valid, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
-def test_pallas_spconv_bias_and_small_qtile():
+@pytest.mark.parametrize("impl", IMPLS)
+def test_pallas_spconv_bias_and_small_qtile(impl):
     feats, w, kmap, valid = _case(1, cin=16, cout=8)
     bias = jnp.arange(8, dtype=jnp.float32) * 0.01
     ref = sparse_conv(feats, w, kmap, bias=bias, out_valid=valid)
-    out = sparse_conv_pallas(
+    out = impl(
         feats, w, kmap, bias=bias, out_valid=valid, q_tile=128, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
@@ -62,15 +69,18 @@ def test_pallas_spconv_downsample_shape():
     kmap = jnp.asarray(h.down[0])[None]  # (1, 8, 192)
     ref = sparse_conv(feats, w, kmap)
     out = sparse_conv_pallas(feats, w, kmap, interpret=True)
+    out2 = sparse_conv_pallas_v2(feats, w, kmap, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-4, rtol=1e-4)
     assert out.shape == (1, 192, 16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
-def test_pallas_spconv_bf16():
+@pytest.mark.parametrize("impl", IMPLS)
+def test_pallas_spconv_bf16(impl):
     feats, w, kmap, valid = _case(3)
     f16, w16 = feats.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
     ref = sparse_conv(f16, w16, kmap, out_valid=valid)
-    out = sparse_conv_pallas(f16, w16, kmap, out_valid=valid, interpret=True)
+    out = impl(f16, w16, kmap, out_valid=valid, interpret=True)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.15, rtol=0.1

@@ -127,11 +127,16 @@ _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
 
 def attention(q, k, v):
     """Dispatch: Pallas flash kernel on TPU backends for supported shapes,
-    XLA reference otherwise. Differentiable everywhere."""
+    XLA reference otherwise. Differentiable everywhere.
+
+    XMASK3D_FLASH_IMPL=xla forces the XLA reference (A/B + fault isolation)."""
+    import os
+
     backend = jax.default_backend()
     tq, tk = q.shape[2], k.shape[2]
     supported = (
-        backend not in ("cpu",)
+        os.environ.get("XMASK3D_FLASH_IMPL", "pallas") != "xla"
+        and backend not in ("cpu",)
         and tq % 128 == 0
         and tk % 128 == 0
         and q.shape[-1] <= 256

@@ -177,6 +177,133 @@ def sparse_conv_pallas(
     return out
 
 
+# ---------------------------------------------------------------------------
+# v2: union-band kernel — one band sweep per query tile, shared by all taps
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel issues ~(K x band + K) MXU dots per query tile (7.3k/conv at
+# 24k voxels) and lands ~2.5 ms/conv — dominated by small-matmul issue
+# latency, not FLOPs. Per-tap bands at a fixed geometric offset are all
+# ~4-6 tiles wide and mutually overlapping (scan order shifts ranks by at
+# most one x-slab), so sweeping the UNION band once and comparing each
+# 128-row tile against ALL taps' indices at once turns the gather work into
+# `union_band` big dots of shape (Cin, 128) @ (128, Kp*QT) — ~8 + K dots
+# per tile instead of ~K x (band + 1).
+
+
+def _spconv2_kernel(lo_ref, hi_ref, idx_ref, wt_ref, ft_ref, out_ref, *, n_taps):
+    """One (b, q-tile) cell.
+
+    idx_ref: (1, 1, 8, KQT) f32 — row 0 holds the tap-major concatenated
+             indices (k*QT+q ordering), rows 1..7 sublane padding
+    wt_ref:  (K, C_out, C_in) — all tap weights, VMEM-resident
+    ft_ref:  (1, C_in, Vp) — feature table, VMEM-resident
+    out_ref: (1, C_out, QT) f32
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    kqt = idx_ref.shape[3]
+    qt = kqt // n_taps
+    cin = ft_ref.shape[1]
+    idxv = idx_ref[0, 0, 0:1, :].astype(jnp.int32)  # (1, KQT)
+    t0 = lo_ref[b, j]
+    t1 = hi_ref[b, j]
+
+    def body(t, acc):
+        c0 = pl.multiple_of(t * 128, 128)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) + c0
+        onehot = (rows == idxv).astype(ft_ref.dtype)  # (128, KQT)
+        vt = ft_ref[0, :, pl.ds(c0, 128)]  # (C_in, 128)
+        return acc + jnp.dot(vt, onehot, preferred_element_type=jnp.float32)
+
+    gath = jax.lax.fori_loop(
+        t0, t1 + 1, body, jnp.zeros((cin, kqt), jnp.float32)
+    ).astype(wt_ref.dtype)
+
+    acc = jnp.zeros((out_ref.shape[1], qt), jnp.float32)
+    for k in range(n_taps):  # static unroll; tap count is static
+        acc += jnp.dot(
+            wt_ref[k], gath[:, k * qt : (k + 1) * qt],
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = acc
+
+
+def sparse_conv_pallas_v2(
+    feats: jnp.ndarray,
+    weights: jnp.ndarray,
+    kmap: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    out_valid: Optional[jnp.ndarray] = None,
+    *,
+    q_tile: int = 0,  # 0 = auto from the VMEM gather-buffer budget
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Union-band Pallas forward of `sparse_conv` (same contract)."""
+    b, v_in, cin = feats.shape
+    k, _, cout = weights.shape
+    v_out = kmap.shape[2]
+
+    if q_tile == 0:
+        # keep the (Cin, K*QT) f32 gather accumulator near ~2 MB
+        budget = 2 * 1024 * 1024 // 4
+        q_tile = min(512, max(128, budget // (cin * k) // 128 * 128))
+
+    vp = _round_up(v_in, 128)
+    qt = min(q_tile, _round_up(v_out, 128))
+    qp = _round_up(v_out, qt)
+    nq = qp // qt
+    nt = vp // 128
+
+    ft = jnp.pad(feats, ((0, 0), (0, vp - v_in), (0, 0))).swapaxes(1, 2)
+    wt = weights.swapaxes(1, 2).astype(feats.dtype)  # (K, C_out, C_in)
+    idx = jnp.pad(kmap, ((0, 0), (0, 0), (0, qp - v_out)), constant_values=-1)
+    # tap-major concat per tile: (B, K, NQ, QT) -> (B, NQ, K*QT)
+    idx_t = idx.reshape(b, k, nq, qt).transpose(0, 2, 1, 3).reshape(b, nq, k * qt)
+    # union band bounds over all taps of a tile
+    lo = jnp.where(idx_t >= 0, idx_t // 128, nt).min(axis=-1).astype(jnp.int32)
+    hi = jnp.where(idx_t >= 0, idx_t // 128, -1).max(axis=-1).astype(jnp.int32)
+    # sublane-8 padding for the (8, KQT) f32 idx block; rows 1..7 unread
+    idx8 = jnp.zeros((b, nq, 8, k * qt), jnp.float32)
+    idx8 = idx8.at[:, :, 0, :].set(idx_t.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 8, k * qt), lambda bb, j, lo, hi: (bb, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k, cout, cin), lambda bb, j, lo, hi: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, cin, vp), lambda bb, j, lo, hi: (bb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, qt), lambda bb, j, lo, hi: (bb, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_spconv2_kernel, n_taps=k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, cout, qp), jnp.float32),
+        interpret=interpret,
+    )(lo, hi, idx8, wt, ft)
+
+    out = out[:, :, :v_out].swapaxes(1, 2).astype(feats.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    if out_valid is not None:
+        out = jnp.where(out_valid[..., None], out, 0)
+    return out
+
+
 @jax.custom_vjp
 def _spconv_hybrid(feats, weights, kmapf):
     return sparse_conv_pallas(feats, weights, kmapf.astype(jnp.int32))
@@ -184,6 +311,15 @@ def _spconv_hybrid(feats, weights, kmapf):
 
 def _spconv_fwd(feats, weights, kmapf):
     return _spconv_hybrid(feats, weights, kmapf), (feats, weights, kmapf)
+
+
+@jax.custom_vjp
+def _spconv2_hybrid(feats, weights, kmapf):
+    return sparse_conv_pallas_v2(feats, weights, kmapf.astype(jnp.int32))
+
+
+def _spconv2_fwd(feats, weights, kmapf):
+    return _spconv2_hybrid(feats, weights, kmapf), (feats, weights, kmapf)
 
 
 def _spconv_bwd(res, g):
@@ -196,6 +332,7 @@ def _spconv_bwd(res, g):
 
 
 _spconv_hybrid.defvjp(_spconv_fwd, _spconv_bwd)
+_spconv2_hybrid.defvjp(_spconv2_fwd, _spconv_bwd)
 
 
 def sparse_conv_auto(
@@ -207,11 +344,14 @@ def sparse_conv_auto(
 ) -> jnp.ndarray:
     """Pallas kernel on TPU (XLA-VJP backward), XLA formulation elsewhere.
 
-    XMASK3D_SPCONV_IMPL=xla forces the XLA formulation (A/B benching).
+    XMASK3D_SPCONV_IMPL selects the formulation for A/B benching:
+    "pallas2" (default, union-band kernel), "pallas" (per-tap band kernel),
+    "xla" (gather+matmul).
     """
-    impl = os.environ.get("XMASK3D_SPCONV_IMPL", "pallas")
+    impl = os.environ.get("XMASK3D_SPCONV_IMPL", "pallas2")
     if impl != "xla" and jax.default_backend() != "cpu":  # tpu / axon relay
-        out = _spconv_hybrid(feats, weights, kmap.astype(jnp.float32))
+        hybrid = _spconv2_hybrid if impl == "pallas2" else _spconv_hybrid
+        out = hybrid(feats, weights, kmap.astype(jnp.float32))
         if bias is not None:
             out = out + bias.astype(out.dtype)
         if out_valid is not None:
