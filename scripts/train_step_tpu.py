@@ -11,6 +11,7 @@ data and reports compile time, per-step wall time, and loss trajectory.
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -57,9 +58,10 @@ def main():
 
     optimizer = make_optimizer(cfg.lr_3d, cfg.lr_others, total_steps=1000)
     state = create_train_state(model, variables, optimizer)
+    donate = os.environ.get("XMASK3D_DONATE", "1") == "1"
     train_step = jax.jit(
         make_train_step(model, optimizer, dict(cfg.loss_weight)),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if donate else (),
     )
     statics = jax.tree_util.tree_map(jnp.asarray, statics)
 
