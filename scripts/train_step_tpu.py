@@ -42,11 +42,20 @@ def main():
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
 
     if args.full:
-        cfg, caps, batch = g._tiny_cfg_and_batch(
-            caps_points=32768, caps_voxels=24576, caps_targets=24,
-            image=512, batch=1,
-        )
+        from xmask3d_tpu.config import load_config
+        from xmask3d_tpu.data.batching import Capacities
+        from xmask3d_tpu.data.synthetic import synthetic_batch
+
+        cfg = load_config("configs/scannet/xmask3d_scannet_B15N4.yaml")
+        caps = Capacities(max_points=32768, max_voxels=24576, max_targets=24)
+        # mask_shape must be set BEFORE the batch is built: the synthetic
+        # x/y point-label coordinates are sampled against this grid
         cfg.mask_shape = [240, 320]
+        batch = synthetic_batch(
+            1, caps, seed=0, num_points=20000, image_size=(512, 512),
+            mask_shape=(240, 320),
+        )
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
         model, variables, statics = init_model(cfg, batch)
     else:
         cfg, caps, batch = g._tiny_cfg_and_batch()

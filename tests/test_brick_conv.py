@@ -21,7 +21,9 @@ def _surface_hierarchy(seed=0, cap=2048):
     vox = Voxelizer(voxel_size=0.05)
     coords, _, _, _ = vox.voxelize(pts, np.ones((len(pts), 3)), None)
     coords = coords[:cap]
-    return build_hierarchy(coords, [cap, cap // 2, cap // 4, cap // 8, cap // 16])
+    return build_hierarchy(
+        coords, [cap, cap // 2, cap // 4, cap // 8, cap // 16], brick_divisor=8
+    )
 
 
 @pytest.mark.parametrize("kernel", [3, 5])
@@ -109,6 +111,37 @@ def test_minkunet_brick_path_matches_gather_path(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(bot), np.asarray(ref_bot), atol=2e-3, rtol=2e-3
     )
+
+
+def test_to_brick_negative_slots_are_dropped_not_wrapped():
+    """Regression: jnp `.at[...].set(mode="drop")` keeps numpy negative-index
+    semantics, so a raw slot of -1 would WRAP into the last brick slot and
+    clobber whichever voxel owns it. to_brick must remap -1 to a truly
+    out-of-range sentinel first."""
+    feats = jnp.asarray(
+        np.stack([np.full((3,), v, np.float32) for v in (1.0, 2.0, 9.9)])
+    )[None]  # rows: slot 0, LAST slot, invalid (-1)
+    n_slots = 128
+    sor = jnp.asarray([[0, n_slots - 1, -1]], jnp.int32)
+    out = np.asarray(to_brick(feats, sor, n_slots))
+    np.testing.assert_array_equal(out[0, 0], [1.0, 1.0, 1.0])
+    np.testing.assert_array_equal(out[0, n_slots - 1], [2.0, 2.0, 2.0])
+    assert (np.abs(out).sum(axis=-1) > 0).sum() == 2  # -1 row truly dropped
+
+
+def test_device_vote_add_negative_ids_are_dropped():
+    """Same numpy-wrapping hazard for the on-device voter: -1 point ids
+    must not increment the LAST point's votes."""
+    from xmask3d_tpu.engine.infer import device_vote_add
+
+    votes = jnp.zeros((10, 4), jnp.int32)
+    counter = jnp.zeros((10,), jnp.int32)
+    ids = jnp.asarray([0, 3, -1, -1])
+    preds = jnp.asarray([1, 2, 3, 3])
+    valid = jnp.asarray([True, True, True, True])
+    v, c = device_vote_add(votes, counter, ids, preds, valid)
+    assert int(c[9]) == 0 and int(v[9].sum()) == 0
+    assert int(c.sum()) == 2 and int(v[0, 1]) == 1 and int(v[3, 2]) == 1
 
 
 def test_brick_conv_bias_and_bf16():

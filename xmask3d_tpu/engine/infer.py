@@ -186,8 +186,12 @@ def device_vote_add(votes, counter, point_ids, preds, valid):
     import jax.numpy as jnp
 
     upd = valid.astype(jnp.int32)
-    votes = votes.at[point_ids, preds].add(upd, mode="drop")
-    counter = counter.at[point_ids].add(upd, mode="drop")
+    # negative ids must map to a truly out-of-range sentinel: .at keeps
+    # numpy negative-index semantics even under mode="drop", so a raw -1
+    # would increment the LAST point's row instead of being dropped
+    ids = jnp.where(point_ids >= 0, point_ids, votes.shape[0])
+    votes = votes.at[ids, preds].add(upd, mode="drop")
+    counter = counter.at[ids].add(upd, mode="drop")
     return votes, counter
 
 

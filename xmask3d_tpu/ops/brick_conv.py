@@ -37,11 +37,17 @@ from xmask3d_tpu.ops.sparse_conv import SparseLevel, gather_voxels
 
 def to_brick(feats: jnp.ndarray, slot_of_rank: jnp.ndarray, n_slots: int) -> jnp.ndarray:
     """Scatter compact (B, V, C) rows into the brick-dense (B, NB*64, C)
-    layout. Rows with slot -1 (padding / overflowed bricks) are dropped."""
+    layout. Rows with slot -1 (padding / overflowed bricks) are dropped.
+
+    -1 must be remapped to an out-of-range sentinel BEFORE the scatter:
+    `.at[...]` keeps numpy negative-index semantics even under mode="drop"
+    (only indices outside [-n, n) are dropped), so a raw -1 would silently
+    clobber the last brick slot."""
     b, _, c = feats.shape
     out = jnp.zeros((b, n_slots, c), feats.dtype)
     bi = jnp.arange(b)[:, None]
-    return out.at[bi, slot_of_rank].set(feats, mode="drop")
+    slot = jnp.where(slot_of_rank >= 0, slot_of_rank, n_slots)
+    return out.at[bi, slot].set(feats, mode="drop")
 
 
 def from_brick(bricks: jnp.ndarray, slot_of_rank: jnp.ndarray) -> jnp.ndarray:

@@ -137,8 +137,7 @@ def ms_deform_attn(
 # kernel is the inference hot path).
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from xmask3d_tpu.ops.sparse_conv import round_up as _round_up
 
 
 def _deform_kernel(lo_ref, hi_ref, meta_ref, v4t_ref, out_ref, *, d: int):

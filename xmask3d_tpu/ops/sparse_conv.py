@@ -90,6 +90,10 @@ class SparseHierarchy:
 # Host-side builder (numpy). Exact coordinate hashing via int64 bit packing.
 # ---------------------------------------------------------------------------
 
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 _BITS = 20  # 3*20 = 60 bits < 63; scenes at 2 cm span << 2^20 voxels/axis
 
 
@@ -185,7 +189,7 @@ def build_hierarchy(
     capacities: Sequence[int],
     num_levels: int = 5,
     stem_kernel: int = 5,
-    brick_divisor: int = 8,
+    brick_divisor: int = 0,
 ) -> SparseHierarchy:
     """Build the full stride hierarchy + kernel maps for one voxelized sample.
 
@@ -194,6 +198,11 @@ def build_hierarchy(
         deduplicated, e.g. by `xmask3d_tpu.data.voxelizer.sparse_quantize`).
       capacities: per-level static voxel capacities, len == num_levels.
         Voxels beyond a level's capacity are dropped (count is recorded).
+      brick_divisor: when > 0, also build the 4^3 brick metadata
+        (ops/brick_conv.py) with nb_cap = max(16, cap // brick_divisor).
+        Default 0: the brick conv path is opt-in (XMASK3D_BRICK=1) and the
+        metadata costs host time + H2D on the loader hot path, so it is
+        only built when asked for.
     """
     assert len(capacities) == num_levels
     coords = np.ascontiguousarray(coords[: capacities[0]], dtype=np.int32)

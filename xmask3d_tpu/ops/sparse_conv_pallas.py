@@ -42,11 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xmask3d_tpu.ops.sparse_conv import sparse_conv
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from xmask3d_tpu.ops.sparse_conv import round_up as _round_up, sparse_conv
 
 
 def _spconv_kernel(
