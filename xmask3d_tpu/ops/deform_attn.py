@@ -322,6 +322,11 @@ def ms_deform_attn_pallas(
         )
 
     v4t = jnp.concatenate(v4s, axis=1).swapaxes(1, 2)  # (BH, 4d, Tsum)
+    # table indices ride through float32 in the meta rows (exact < 2^24)
+    assert v4t.shape[2] < (1 << 24), (
+        f"ms_deform_attn_pallas: Tsum={v4t.shape[2]} >= 2^24 — float32 "
+        "index round-trip would corrupt gather indices; use the XLA path"
+    )
     meta_all = jnp.concatenate(wqs, axis=2)  # (BH, 8, L*Qp)
 
     sampled = _deform_attn_fused_pallas(
@@ -375,7 +380,7 @@ def ms_deform_attn_auto(
     import os
 
     impl = os.environ.get("XMASK3D_DEFORM_IMPL", "pallas")
-    if impl != "xla" and jax.default_backend() != "cpu":  # tpu / axon relay
+    if impl != "xla" and jax.default_backend() == "tpu":
         return _ms_deform_attn_hybrid(
             value, tuple(spatial_shapes), sampling_locations, attention_weights
         )

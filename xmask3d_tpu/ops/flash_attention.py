@@ -136,7 +136,7 @@ def attention(q, k, v):
     tq, tk = q.shape[2], k.shape[2]
     supported = (
         os.environ.get("XMASK3D_FLASH_IMPL", "pallas") != "xla"
-        and backend not in ("cpu",)
+        and backend == "tpu"
         and tq % 128 == 0
         and tk % 128 == 0
         and q.shape[-1] <= 256

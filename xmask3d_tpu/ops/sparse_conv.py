@@ -169,6 +169,20 @@ def brick_metadata(
 
     slot_of_rank = np.full((v_cap,), -1, np.int32)
     keep = binv < nb_cap
+    n_overflow = int(n - keep.sum())
+    if n_overflow:
+        # unlike per-level capacity drops (recorded in SparseLevel.num),
+        # brick-overflow voxels are silently zeroed for the whole stage in
+        # the brick path — make that attributable instead of silent.
+        import warnings
+
+        warnings.warn(
+            f"brick_metadata: {n_overflow}/{n} voxels overflow nb_cap="
+            f"{nb_cap} bricks and will be zeroed in the brick conv path "
+            "(raise nb_cap / brick_divisor)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     slot_of_rank[:n][keep] = (binv[keep] * 64 + slot_id[keep]).astype(np.int32)
 
     ubid = bid[first[:nb]]  # brick coords aligned with sorted key order

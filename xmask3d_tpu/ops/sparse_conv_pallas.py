@@ -345,7 +345,13 @@ def sparse_conv_auto(
     "xla" (gather+matmul).
     """
     impl = os.environ.get("XMASK3D_SPCONV_IMPL", "pallas2")
-    if impl != "xla" and jax.default_backend() != "cpu":  # tpu / axon relay
+    if impl != "xla" and jax.default_backend() == "tpu":
+        # gather indices ride through float32 inside the kernel (exact only
+        # below 2^24); fail loudly if capacities ever outgrow that.
+        assert feats.shape[1] < (1 << 24), (
+            f"sparse_conv_pallas: v_in={feats.shape[1]} >= 2^24 — float32 "
+            "index round-trip would corrupt gather indices; use the XLA path"
+        )
         hybrid = _spconv2_hybrid if impl == "pallas2" else _spconv_hybrid
         out = hybrid(feats, weights, kmap.astype(jnp.float32))
         if bias is not None:
