@@ -15,6 +15,7 @@ pulls in the whole detectron2-dependent training stack).
 from __future__ import annotations
 
 import importlib
+import importlib.machinery
 import sys
 import types
 
@@ -22,12 +23,25 @@ REF = "/root/reference"
 M2F = REF + "/third_party/Mask2Former"
 
 
+def _register(name: str, mod: types.ModuleType) -> None:
+    """Register a stub in sys.modules WITH a ModuleSpec: a module whose
+    __spec__ is missing makes importlib.util.find_spec(name) raise
+    ValueError, which breaks unrelated imports that probe for optional
+    packages (e.g. transformers probing detectron2)."""
+    mod.__spec__ = importlib.machinery.ModuleSpec(
+        name, None, is_package=hasattr(mod, "__path__")
+    )
+    if hasattr(mod, "__path__"):
+        mod.__spec__.submodule_search_locations = list(mod.__path__)
+    sys.modules[name] = mod
+
+
 def _pkg(name: str, path: str) -> None:
     if name in sys.modules:
         return
     mod = types.ModuleType(name)
     mod.__path__ = [path]
-    sys.modules[name] = mod
+    _register(name, mod)
 
 
 def install_detectron2_stubs() -> None:
@@ -170,7 +184,44 @@ def install_detectron2_stubs() -> None:
         ("fvcore.nn", fv_nn),
         ("fvcore.nn.weight_init", weight_init),
     ]:
-        sys.modules[name] = mod
+        _register(name, mod)
+
+
+def install_m2f_misc_stub() -> None:
+    """Stub for mask2former.utils.misc (the real file imports torchvision,
+    absent here). Only the two names the vendored criterion.py uses; for
+    same-shaped mask lists `nested_tensor_from_tensor_list` reduces to a
+    stack with an all-False padding mask (detr util/misc.py semantics)."""
+    name = "mask2former.utils.misc"
+    if name in sys.modules:
+        return
+    import torch
+
+    _pkg("mask2former", M2F + "/mask2former")
+    _pkg("mask2former.utils", M2F + "/mask2former/utils")
+
+    class _Nested:
+        def __init__(self, tensors, mask):
+            self.tensors = tensors
+            self.mask = mask
+
+        def decompose(self):
+            return self.tensors, self.mask
+
+    def nested_tensor_from_tensor_list(tensor_list):
+        assert len({tuple(t.shape) for t in tensor_list}) == 1, (
+            "stub only supports same-shape mask lists"
+        )
+        tensors = torch.stack(list(tensor_list))
+        mask = torch.zeros(
+            (tensors.shape[0],) + tensors.shape[2:], dtype=torch.bool
+        )
+        return _Nested(tensors, mask)
+
+    mod = types.ModuleType(name)
+    mod.is_dist_avail_and_initialized = lambda: False
+    mod.nested_tensor_from_tensor_list = nested_tensor_from_tensor_list
+    _register(name, mod)
 
 
 def load_ref_module(dotted: str):
