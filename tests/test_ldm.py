@@ -47,3 +47,35 @@ def test_feature_strides_sd_v1():
     # encoder taps (5,7) -> 4,8; unet taps (2,5,8,11) -> 64,32,16,8;
     # decoder taps (2,5) -> 8,4  (reference ldm.py:255-310 bookkeeping)
     assert strides == [4, 8, 64, 32, 16, 8, 8, 4]
+
+
+def test_slide_forward_matches_single_on_constant_image():
+    """slide_forward (reference feature_extractor.py:169-226) at 2x the
+    training crop: on a constant image every window sees identical content,
+    so each tile of the full-size maps must equal the single_forward output
+    of one crop, and shapes must scale to the full resolution."""
+    cfg = LDM_TINY
+    model = FeatureExtractorBackbone(ldm_cfg=cfg, out_features=("s2", "s3", "s4", "s5"))
+    crop = 64
+    img1 = jnp.full((1, crop, crop, 3), 0.3)
+    img2 = jnp.full((1, 2 * crop, 2 * crop, 3), 0.3)
+    prefix = jnp.zeros((1, 768))
+    uncond = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), img1, prefix, uncond)
+
+    single = model.apply(variables, img1, prefix, uncond)
+    slid = model.apply(
+        variables, img2, prefix, uncond, crop, method=model.slide_forward
+    )
+    shapes = model.output_shape()
+    for name, spec in shapes.items():
+        st = spec["stride"]
+        hw = crop // st
+        assert slid[name].shape == (1, 2 * hw, 2 * hw, 512), name
+        for yi in range(2):
+            for xi in range(2):
+                tile = slid[name][:, yi * hw : (yi + 1) * hw, xi * hw : (xi + 1) * hw]
+                np.testing.assert_allclose(
+                    np.asarray(tile), np.asarray(single[name]),
+                    rtol=2e-5, atol=2e-5, err_msg=f"{name} tile {yi},{xi}",
+                )
