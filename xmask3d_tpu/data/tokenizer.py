@@ -184,3 +184,23 @@ def build_tokenizer(vocab_path: str = "", vocab_size: int = 49408, context_lengt
     if vocab_path:
         return CLIPBPETokenizer(vocab_path, context_length)
     return HashTokenizer(vocab_size, context_length)
+
+
+def require_real_tokenizer(tokenizer, allow_hash: bool = False) -> None:
+    """Refuse to run real-data pipelines on the HashTokenizer fallback.
+
+    The HashTokenizer is only meaningful with randomly-initialized text
+    towers (CI / synthetic benches); with pretrained CLIP weights it would
+    silently produce garbage text banks. Real-data entry points call this
+    right after build_tokenizer (reference always uses the real open_clip
+    tokenizer, clip.py:54). Pass --allow_hash_tokenizer to override for
+    from-scratch experiments.
+    """
+    if isinstance(tokenizer, HashTokenizer) and not allow_hash:
+        raise RuntimeError(
+            "refusing to run a real dataset with the HashTokenizer fallback: "
+            "no CLIP BPE vocab configured (set `clip_bpe_vocab` to the "
+            "bpe_simple_vocab_16e6.txt.gz path). Pretrained CLIP weights "
+            "would silently receive garbage token ids. Pass "
+            "--allow_hash_tokenizer to override (from-scratch runs only)."
+        )

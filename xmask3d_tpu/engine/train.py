@@ -47,6 +47,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="train on synthetic data (no ScanNet assets needed)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model variant (smoke runs)")
+    p.add_argument("--allow_hash_tokenizer", action="store_true",
+                   help="permit the HashTokenizer fallback on real data "
+                        "(from-scratch runs only; incompatible with "
+                        "pretrained CLIP weights)")
     p.add_argument("opts", nargs="*", help="KEY VALUE override pairs")
     return p
 
@@ -57,6 +61,7 @@ def make_data_iter(
     synthetic: bool,
     tiny: bool = False,
     split: str = "train",
+    allow_hash_tokenizer: bool = False,
 ):
     """Build a batch iterator for the given split.
 
@@ -87,7 +92,7 @@ def make_data_iter(
         return it(), None
 
     from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetViews
-    from xmask3d_tpu.data.tokenizer import build_tokenizer
+    from xmask3d_tpu.data.tokenizer import build_tokenizer, require_real_tokenizer
 
     train = split == "train"
     ds_cfg = ScanNetConfig(
@@ -106,6 +111,7 @@ def make_data_iter(
         scannet200=cfg.scannet200,
     )
     tok = build_tokenizer(cfg.get("clip_bpe_vocab", ""))
+    require_real_tokenizer(tok, allow_hash_tokenizer)
     ds = ScanNetViews(ds_cfg, caps, tok, seed=cfg.manual_seed)
 
     # shard by host (replaces DistributedSampler, train.py:229-233)
@@ -132,6 +138,16 @@ def make_data_iter(
     return iterator, len(order0)
 
 
+def val_batch_count(val_samples, batch_size: int, val_batches_default: int = 4) -> int:
+    """Batches per validation pass: the reference validates the ENTIRE val
+    split every eval_freq (train.py:881-1385), so real datasets use
+    ceil(|val| / batch); synthetic smoke runs (val_samples is None) keep
+    the bounded val_batches knob."""
+    if val_samples is not None:
+        return max(1, -(-val_samples // batch_size))
+    return val_batches_default
+
+
 def main(argv=None):
     args = get_parser().parse_args(argv)
     cfg = load_config(args.config, args.opts)
@@ -142,7 +158,10 @@ def main(argv=None):
     mesh = create_mesh(mesh_shape.get("data", -1), mesh_shape.get("model", 1))
     logger.info(f"mesh: {mesh}")
 
-    data, n_samples = make_data_iter(cfg, caps, args.synthetic, tiny=args.tiny)
+    data, n_samples = make_data_iter(
+        cfg, caps, args.synthetic, tiny=args.tiny,
+        allow_hash_tokenizer=args.allow_hash_tokenizer,
+    )
     first = next(data)
     batch0 = jax.tree_util.tree_map(jnp.asarray, first)
 
@@ -186,8 +205,9 @@ def main(argv=None):
     val_data = None
     best_iou = resumed_best_iou
     if cfg.evaluate:
-        val_data, _ = make_data_iter(
-            cfg, caps, args.synthetic, tiny=args.tiny, split="val"
+        val_data, val_samples = make_data_iter(
+            cfg, caps, args.synthetic, tiny=args.tiny, split="val",
+            allow_hash_tokenizer=args.allow_hash_tokenizer,
         )
 
     for epoch in range(start_epoch, cfg.epochs):
@@ -234,7 +254,9 @@ def main(argv=None):
             variables_eval = {
                 "params": state.params, "batch_stats": state.batch_stats
             }
-            n_val = cfg.get("val_batches", 4)
+            n_val = val_batch_count(
+                val_samples, cfg.batch_size, cfg.get("val_batches", 4)
+            )
             val_batches = (
                 shard_batch(next(val_data), mesh) for _ in range(n_val)
             )
