@@ -78,24 +78,87 @@ def main():
 
     n_classes = mc.num_test_classes
 
-    @jax.jit
-    def infer_step(variables, batch, statics, votes, counter):
-        _, outputs = model.apply(
-            variables, batch, statics, train=False,
-            rngs={"points": jax.random.PRNGKey(0)},
+    # BENCH_SCENE_REUSE=1: the scene-reuse serving mode (one 3D pass per
+    # scene at scene-level caps, per-view 2D passes consuming its outputs —
+    # engine/scene_reuse.py; protocol divergence, flag-gated).
+    scene_reuse = os.environ.get("BENCH_SCENE_REUSE", "0") == "1"
+    scene3d = None
+    scene_3d_step = None
+    scene_batch_dev = None
+    if scene_reuse:
+        from xmask3d_tpu.data.synthetic import synthetic_scene
+        from xmask3d_tpu.engine.scene_reuse import (
+            make_scene_3d_step,
+            scene_3d_batch,
+            scene_caps_from_view_caps,
         )
-        routed = ensemble_and_route(
-            outputs, mc.base_category, mc.novel_category, mc.num_test_classes,
-            cfg.base_ratio, cfg.novel_ratio,
+
+        scene_caps = scene_caps_from_view_caps(
+            caps, factor=int(os.environ.get("BENCH_SCENE_FACTOR", "4"))
         )
-        # multi-view voting stays ON DEVICE (reference infer.py:642-647);
-        # the host pulls one argmax per scene, not one prediction per view
-        pred = routed["pred"]
-        ids = jnp.broadcast_to(jnp.arange(pred.shape[1]), pred.shape)
-        return device_vote_add(
-            votes, counter, ids.reshape(-1), pred.reshape(-1),
-            batch["point_valid"].reshape(-1),
+        sc = synthetic_scene(
+            caps, seed=7, num_points=min(scene_caps.max_points, 8 * npts),
+            num_views=1, num_classes=cfg.classes,
+            image_size=(image, image), mask_shape=tuple(cfg.mask_shape),
+            context_length=ctx, vocab_size=vocab,
         )
+        sb = scene_3d_batch(
+            sc["coords"], sc["colors"], scene_caps, voxel_size=0.05
+        )
+        scene_batch_dev = jax.tree_util.tree_map(jnp.asarray, sb)
+        scene_3d_step = make_scene_3d_step(model)
+
+    if scene_reuse:
+
+        @jax.jit
+        def infer_step(variables, batch, statics, votes, counter, scene3d):
+            p_view = batch["point_valid"].shape[1]
+            ids = jnp.broadcast_to(
+                jnp.arange(p_view), batch["point_valid"].shape
+            )
+            precomp = {
+                "imp_condition": scene3d["imp_condition"],
+                "pred_3d": jnp.take_along_axis(
+                    scene3d["pred_3d"], ids[..., None], axis=1
+                ),
+                "binary_scores": jnp.take_along_axis(
+                    scene3d["binary_scores"], ids, axis=1
+                ),
+            }
+            _, outputs = model.apply(
+                variables, batch, statics, train=False, precomp_3d=precomp,
+                rngs={"points": jax.random.PRNGKey(0)},
+            )
+            routed = ensemble_and_route(
+                outputs, mc.base_category, mc.novel_category,
+                mc.num_test_classes, cfg.base_ratio, cfg.novel_ratio,
+            )
+            pred = routed["pred"]
+            return device_vote_add(
+                votes, counter, ids.reshape(-1), pred.reshape(-1),
+                batch["point_valid"].reshape(-1),
+            )
+
+    else:
+
+        @jax.jit
+        def infer_step(variables, batch, statics, votes, counter):
+            _, outputs = model.apply(
+                variables, batch, statics, train=False,
+                rngs={"points": jax.random.PRNGKey(0)},
+            )
+            routed = ensemble_and_route(
+                outputs, mc.base_category, mc.novel_category, mc.num_test_classes,
+                cfg.base_ratio, cfg.novel_ratio,
+            )
+            # multi-view voting stays ON DEVICE (reference infer.py:642-647);
+            # the host pulls one argmax per scene, not one prediction per view
+            pred = routed["pred"]
+            ids = jnp.broadcast_to(jnp.arange(pred.shape[1]), pred.shape)
+            return device_vote_add(
+                votes, counter, ids.reshape(-1), pred.reshape(-1),
+                batch["point_valid"].reshape(-1),
+            )
 
     def fresh_vote_state():
         return (
@@ -103,8 +166,22 @@ def main():
             jnp.zeros((caps.max_points,), jnp.int32),
         )
 
+    _scene_state = {}
+
+    def scene_begin():
+        """Per-scene prelude: in scene-reuse mode, the ONE 3D pass whose
+        outputs all of the scene's views consume."""
+        if scene_reuse:
+            _scene_state["s3"] = scene_3d_step(variables, scene_batch_dev)
+
+    def step_view(b, vc):
+        if scene_reuse:
+            return infer_step(variables, b, statics, *vc, _scene_state["s3"])
+        return infer_step(variables, b, statics, *vc)
+
     # compile + warmup
-    votes, counter = infer_step(variables, batch, statics, *fresh_vote_state())
+    scene_begin()
+    votes, counter = step_view(batch, fresh_vote_state())
     jax.block_until_ready((votes, counter))
 
     # BENCH_INCLUDE_HOST=1: the honest end-to-end mode — every view is
@@ -139,18 +216,20 @@ def main():
         def measure_host():
             it = parallel_map_iterator(build_view, seeds(), workers=workers)
             # warmup: one untimed scene fills the prefetch window
+            scene_begin()
             vc = fresh_vote_state()
             for _ in range(steps_per_scene):
-                vc = infer_step(variables, jax.device_put(next(it)), statics, *vc)
+                vc = step_view(jax.device_put(next(it)), vc)
             np.asarray(vc[0].argmax(1))
             t0 = time.time()
             sink = 0
             for s in range(NUM_SCENES):
                 ts = time.time()
+                scene_begin()
                 vc = fresh_vote_state()
                 for _ in range(steps_per_scene):
                     b = jax.device_put(next(it))
-                    vc = infer_step(variables, b, statics, *vc)
+                    vc = step_view(b, vc)
                 sink += int(np.asarray(vc[0].argmax(1)).sum())
                 print(f"# scene {s} (host incl.): {time.time() - ts:.2f}s", flush=True)
             return NUM_SCENES / (time.time() - t0)
@@ -197,17 +276,19 @@ def main():
 
     def measure():
         # untimed warmup pass: first-touch of program workspace + buffers
+        scene_begin()
         vc = fresh_vote_state()
         for b in views:
-            vc = infer_step(variables, b, statics, *vc)
+            vc = step_view(b, vc)
         np.asarray(vc[0].argmax(1))
         t0 = time.time()
         sink = 0
         for s in range(NUM_SCENES):
             ts = time.time()
+            scene_begin()
             vc = fresh_vote_state()
             for i in range(steps_per_scene):
-                vc = infer_step(variables, views[i % len(views)], statics, *vc)
+                vc = step_view(views[i % len(views)], vc)
             # one host transfer per scene: the voted per-point prediction
             # (forces materialization of the whole scene's compute)
             sink += int(np.asarray(vc[0].argmax(1)).sum())
@@ -227,10 +308,15 @@ def main():
     if scenes_per_sec is None:
         raise RuntimeError("benchmark failed after 3 attempts")
 
+    metric = (
+        "scene_inference_throughput_reuse"
+        if scene_reuse
+        else "scene_inference_throughput"
+    )
     print(
         json.dumps(
             {
-                "metric": "scene_inference_throughput",
+                "metric": metric,
                 "value": round(scenes_per_sec, 5),
                 "unit": "scenes/sec/chip",
                 "vs_baseline": round(scenes_per_sec / A100_BASELINE_SCENES_PER_SEC, 3),

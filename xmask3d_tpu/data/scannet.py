@@ -351,6 +351,7 @@ class ScanNetSceneViews(ScanNetViews):
         return {
             "name": name,
             "coords": locs,
+            "colors": feats,  # raw 0..255 colors (scene-reuse voxelization)
             "labels": labels,
             "views": views,
         }

@@ -14,6 +14,7 @@ CLI: python -m xmask3d_tpu.engine.infer_cli --config ... [KEY VALUE ...]
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from functools import partial
 from typing import Dict
@@ -48,6 +49,16 @@ def get_parser():
     p.add_argument("--num_scenes", type=int, default=0)
     p.add_argument("--save_ply", default="",
                    help="directory for GT/pred PLY dumps (infer.py:268-335)")
+    p.add_argument("--allow_hash_tokenizer", action="store_true",
+                   help="permit the HashTokenizer fallback on real data "
+                        "(from-scratch runs only; incompatible with "
+                        "pretrained CLIP weights)")
+    p.add_argument("--scene_reuse", action="store_true",
+                   default=os.environ.get("XMASK3D_SCENE_REUSE", "0") == "1",
+                   help="voxelize each scene once and reuse its 3D features "
+                        "across views (engine/scene_reuse.py; protocol "
+                        "divergence from the reference — validate hIoU "
+                        "before relying on it)")
     p.add_argument("opts", nargs="*")
     return p
 
@@ -71,7 +82,6 @@ def make_infer_step(model, cfg):
         )
         return preds
 
-    mc = model.cfg
     route_2d = jax.jit(
         partial(
             fill_and_route_2d,
@@ -161,7 +171,7 @@ def main(argv=None):
         return
 
     from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetSceneViews
-    from xmask3d_tpu.data.tokenizer import build_tokenizer
+    from xmask3d_tpu.data.tokenizer import build_tokenizer, require_real_tokenizer
 
     ds_cfg = ScanNetConfig(
         data_root=cfg.data_root,
@@ -176,6 +186,7 @@ def main(argv=None):
         scannet200=cfg.scannet200,
     )
     tok = build_tokenizer(cfg.get("clip_bpe_vocab", ""))
+    require_real_tokenizer(tok, args.allow_hash_tokenizer)
     ds = ScanNetSceneViews(ds_cfg, caps, tok)
 
     n = args.num_scenes or len(ds.data_paths)
@@ -197,16 +208,37 @@ def main(argv=None):
         state, _ = Checkpointer(args.ckpt).restore(state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    infer_step, route_2d = make_infer_step(model, cfg)
+    if args.scene_reuse:
+        from xmask3d_tpu.engine.scene_reuse import (
+            make_reuse_infer_step,
+            make_scene_3d_step,
+            run_scene_reuse,
+            scene_caps_from_view_caps,
+        )
+
+        scene_caps = scene_caps_from_view_caps(caps)
+        scene_3d_step = make_scene_3d_step(model)
+        infer_step, route_2d = make_reuse_infer_step(model, cfg)
+        logger.info("scene-reuse mode ON (one 3D pass per scene)")
+    else:
+        infer_step, route_2d = make_infer_step(model, cfg)
     streams = ("pred", "pred_2d", "pred_3d")
     acc = {s: {"inter": 0, "union": 0, "target": 0} for s in streams}
     t0 = time.time()
     for i in range(n):
         scene = ds.scene(i) if i else scene0
-        pred = run_scene(
-            scene, infer_step, route_2d, variables, statics, caps,
-            len(ds_cfg.base_category), cfg.test_classes,
-        )
+        if args.scene_reuse:
+            pred = run_scene_reuse(
+                scene, scene_3d_step, infer_step, route_2d, variables,
+                statics, caps, scene_caps, len(ds_cfg.base_category),
+                cfg.test_classes, voxel_size=cfg.voxel_size,
+                input_color=cfg.input_color,
+            )
+        else:
+            pred = run_scene(
+                scene, infer_step, route_2d, variables, statics, caps,
+                len(ds_cfg.base_category), cfg.test_classes,
+            )
         for s in streams:
             m = evaluate_scene_predictions(
                 pred[s], scene["labels"].astype(np.int64), cfg.test_classes,

@@ -201,8 +201,13 @@ class XMask3D(nn.Module):
     # ------------------------------------------------------------------ #
     # shared trunk
     # ------------------------------------------------------------------ #
-    def _trunk(self, batch: Dict[str, jnp.ndarray], statics, train: bool):
-        c = self.cfg
+    def run_3d(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        """The 3D branch alone: sparse UNets -> per-point features + global
+        embedding + binary scores. Public so the scene-reuse serving mode
+        (XMASK3D_SCENE_REUSE) can voxelize a scene ONCE and reuse its 3D
+        outputs across all of the scene's views — a deliberate protocol
+        divergence from the reference's per-view recompute
+        (run/infer.py:457-482), flag-gated until hIoU-validated."""
         h = batch.get("hierarchy")
         if h is None:
             # light batches ship only voxel coords; build the hierarchy
@@ -229,13 +234,29 @@ class XMask3D(nn.Module):
         binary_scores = jnp.take_along_axis(
             binary_vox, batch["inds_reconstruct"][..., None], axis=1
         )[..., 0]
+        return {
+            "imp_condition": imp_condition,
+            "pred_3d": pred_3d,
+            "binary_scores": binary_scores,
+        }
+
+    def _trunk(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        statics,
+        train: bool,
+        precomp_3d: Optional[Dict[str, jnp.ndarray]] = None,
+    ):
+        three_d = precomp_3d if precomp_3d is not None else self.run_3d(batch, train)
 
         img01 = batch["img"] / 255.0
-        feats = self.backbone(img01, imp_condition, statics["uncond_tokens"])
+        feats = self.backbone(
+            img01, three_d["imp_condition"], statics["uncond_tokens"]
+        )
         mask_features, ms_feats = self.pixel_decoder(feats)
         outputs = self.mask_decoder(ms_feats, mask_features)
-        outputs["pred_3d"] = pred_3d
-        outputs["binary_scores"] = binary_scores
+        outputs["pred_3d"] = three_d["pred_3d"]
+        outputs["binary_scores"] = three_d["binary_scores"]
         outputs["images"] = img01
         return outputs
 
@@ -255,10 +276,10 @@ class XMask3D(nn.Module):
     # ------------------------------------------------------------------ #
     # train forward
     # ------------------------------------------------------------------ #
-    def __call__(self, batch, statics, train: bool = False):
+    def __call__(self, batch, statics, train: bool = False, precomp_3d=None):
         if train:
             return self.train_forward(batch, statics)
-        return None, self.eval_forward(batch, statics)
+        return None, self.eval_forward(batch, statics, precomp_3d=precomp_3d)
 
     def train_forward(self, batch, statics):
         c = self.cfg
@@ -427,9 +448,9 @@ class XMask3D(nn.Module):
     # ------------------------------------------------------------------ #
     # eval forward (reference xmask3d.py:306-489)
     # ------------------------------------------------------------------ #
-    def eval_forward(self, batch, statics):
+    def eval_forward(self, batch, statics, precomp_3d=None):
         c = self.cfg
-        outputs = self._trunk(batch, statics, train=False)
+        outputs = self._trunk(batch, statics, train=False, precomp_3d=precomp_3d)
         cat = self.category_embed(statics["text_embed_test"])
         text_embed, null_embed = cat["text_embed"], cat["null_embed"]
         logit_scale = outputs["logit_scale"]
