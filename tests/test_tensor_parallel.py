@@ -62,3 +62,114 @@ def test_tp2_forward_matches_replicated():
         # corrupts nearly all elements at O(1).
         assert (diff <= 2e-4).mean() >= 0.98, f"{(diff <= 2e-4).mean():.4f}"
         assert diff.max() < 5e-2, diff.max()
+
+
+@pytest.mark.slow
+def test_tp_flagship_width_sharding_and_lowering():
+    """TP at WIDTH (VERDICT r2 #9): with the flagship model's real param
+    shapes (SD v1, ViT-L/14, 9 decoder layers), `param_sharding_rules` at
+    model=2 must actually shard the big dense kernels (CLIP in_proj /
+    mlp_c_fc, SD GEGLU ff / qkv projections), and the flagship eval step
+    must LOWER cleanly with those shardings attached (shapes divisible,
+    specs consistent) — proving the rules hold beyond the tiny widths the
+    numeric TP test uses. Abstract shapes only; nothing is executed.
+    """
+    import os
+    from functools import partial
+
+    from xmask3d_tpu.config import load_config
+    from xmask3d_tpu.data.synthetic import synthetic_batch
+    from xmask3d_tpu.engine.builder import (
+        capacities_from_cfg,
+        model_config_from_cfg,
+        zero_statics,
+    )
+    from xmask3d_tpu.models.xmask3d import XMask3D
+    from xmask3d_tpu.parallel.mesh import param_sharding_rules
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(
+        os.path.join(root, "configs/scannet/xmask3d_scannet_B15N4.yaml")
+    )
+    caps = capacities_from_cfg(cfg)
+    mc = model_config_from_cfg(cfg, tiny=False)
+    model = XMask3D(cfg=mc)
+
+    batch = synthetic_batch(
+        1, caps, seed=0, num_points=30000, image_size=(512, 512),
+        mask_shape=tuple(cfg.mask_shape),
+    )
+    sds = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), t
+    )
+    batch_s = sds(batch)
+    statics_s = sds(zero_statics(model, cfg))
+    rngs = {"params": jax.random.PRNGKey(0), "points": jax.random.PRNGKey(1)}
+    var_s = jax.eval_shape(
+        partial(model.init, train=False), rngs, batch_s, statics_s
+    )
+
+    mesh2 = create_mesh(data=1, model=2, devices=jax.devices()[:2])
+
+    flat = jax.tree_util.tree_flatten_with_path(var_s["params"])[0]
+    sharded = {}
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+        sh = param_sharding_rules(keys, leaf, mesh2)
+        if sh.spec != P():
+            name = "/".join(str(k) for k in keys)
+            sharded[name] = (leaf.shape, sh.spec)
+
+    # the big kernels must be among the sharded set, at full width
+    def any_sharded(substr, min_dim):
+        hits = [
+            (n, shape, spec) for n, (shape, spec) in sharded.items()
+            if substr in n
+        ]
+        assert hits, f"no sharded kernel matching {substr!r}"
+        assert max(max(s) for _, s, _ in hits) >= min_dim, (substr, hits[:3])
+        return hits
+
+    any_sharded("in_proj", 1024 * 3)      # CLIP ViT-L packed qkv: 1024x3072
+    any_sharded("mlp_c_fc", 4096)         # CLIP ViT-L MLP: 1024x4096
+    any_sharded("ff_geglu", 2560)         # SD UNet GEGLU: 320x2560 and up
+    assert len(sharded) > 100, len(sharded)
+    # every sharded dim must divide by the model axis
+    for name, (shape, spec) in sharded.items():
+        for dim, axis in zip(shape, spec):
+            if axis == "model":
+                assert dim % 2 == 0, (name, shape, spec)
+
+    # flagship eval step lowers with the TP shardings attached
+    def shard_sds(path, leaf):
+        keys = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+        return jax.ShapeDtypeStruct(
+            leaf.shape, leaf.dtype,
+            sharding=param_sharding_rules(keys, leaf, mesh2),
+        )
+
+    params_sh = jax.tree_util.tree_map_with_path(shard_sds, var_s["params"])
+    repl = NamedSharding(mesh2, P())
+    rep_sds = lambda t: jax.tree_util.tree_map(
+        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=repl), t
+    )
+    variables_s = {
+        "params": params_sh,
+        "batch_stats": rep_sds(var_s.get("batch_stats", {})),
+    }
+
+    def fwd(variables, batch, statics):
+        _, outputs = model.apply(
+            variables, batch, statics, train=False,
+            rngs={"points": jax.random.PRNGKey(0)},
+        )
+        return outputs["pred_logits"], outputs["fused_pred_feature"]
+
+    with mesh2:
+        lowered = jax.jit(fwd).lower(
+            variables_s, rep_sds(batch_s), rep_sds(statics_s)
+        )
+    txt = lowered.as_text()
+    # the model-axis shardings survive into the lowered program
+    assert txt.count('"model"') + txt.count("[1,2]") > 50
