@@ -74,6 +74,19 @@ def main():
     model, variables, statics = init_model(cfg, batch, tiny=tiny)
     mc = model.cfg
 
+    # bf16 weight storage (default ON; BENCH_BF16_PARAMS=0 reverts): the
+    # modules already COMPUTE in bf16 (model dtype), but flax keeps params
+    # fp32 and casts per use — so every view re-reads ~6.3 GB of fp32
+    # weights from HBM where ~3.2 GB of bf16 would do. Storing bf16 yields
+    # the SAME bf16 values those per-use casts produce, so this is the
+    # serving configuration, not a numerics trade (measured 0.496 -> 0.517
+    # scenes/sec, round 3). Keeps batch_stats fp32 (BN running stats);
+    # fp32-sensitive scalars (logit_scale) survive the cast exactly.
+    if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
+        from xmask3d_tpu.engine.infer_cli import cast_params_bf16
+
+        variables = cast_params_bf16(variables)
+
     from xmask3d_tpu.engine.infer import device_vote_add
 
     n_classes = mc.num_test_classes

@@ -103,3 +103,26 @@ def test_device_vote_add_matches_host_voter():
         )
     np.testing.assert_array_equal(np.asarray(votes), host.votes)
     np.testing.assert_array_equal(np.asarray(counter), host.counter)
+
+
+def test_cast_params_bf16_touches_only_fp32_params():
+    import jax.numpy as jnp
+
+    from xmask3d_tpu.engine.infer_cli import cast_params_bf16
+
+    variables = {
+        "params": {
+            "w": jnp.ones((4, 4), jnp.float32),
+            "idx": jnp.zeros((3,), jnp.int32),
+            "half": jnp.ones((2,), jnp.bfloat16),
+        },
+        "batch_stats": {"mean": jnp.zeros((4,), jnp.float32)},
+    }
+    out = cast_params_bf16(variables)
+    assert out["params"]["w"].dtype == jnp.bfloat16
+    assert out["params"]["idx"].dtype == jnp.int32
+    assert out["params"]["half"].dtype == jnp.bfloat16
+    # BN running stats stay fp32
+    assert out["batch_stats"]["mean"].dtype == jnp.float32
+    # original untouched
+    assert variables["params"]["w"].dtype == jnp.float32

@@ -59,8 +59,27 @@ def get_parser():
                         "across views (engine/scene_reuse.py; protocol "
                         "divergence from the reference — validate hIoU "
                         "before relying on it)")
+    p.add_argument("--bf16_params", action="store_true",
+                   default=os.environ.get("XMASK3D_BF16_PARAMS", "0") == "1",
+                   help="store weights in bf16 for serving (halves weight "
+                        "HBM traffic; compute already runs in the model "
+                        "dtype — validate hIoU before relying on it)")
     p.add_argument("opts", nargs="*")
     return p
+
+
+def cast_params_bf16(variables):
+    """Serving-mode weight cast: params fp32 -> bf16, batch_stats untouched
+    (BN running stats stay fp32)."""
+    import jax.numpy as _jnp
+
+    variables = dict(variables)
+    variables["params"] = jax.tree_util.tree_map(
+        lambda x: x.astype(_jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == _jnp.float32 else x,
+        variables["params"],
+    )
+    return variables
 
 
 def make_infer_step(model, cfg):
@@ -207,6 +226,9 @@ def main(argv=None):
         state = create_train_state(model, variables, opt)
         state, _ = Checkpointer(args.ckpt).restore(state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.bf16_params:
+        variables = cast_params_bf16(variables)
+        logger.info("bf16 weight storage ON (serving mode)")
 
     if args.scene_reuse:
         from xmask3d_tpu.engine.scene_reuse import (

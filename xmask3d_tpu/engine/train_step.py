@@ -127,8 +127,20 @@ def make_train_step(model, optimizer, loss_weight: Dict[str, float], cfg=None):
         state: TrainState, batch, statics, contra_on: jnp.ndarray
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng, points_rng = jax.random.split(state.rng)
+        labels = label_tree(state.params)
 
         def loss_fn(params):
+            # Frozen towers (SD VAE/UNet/text, CLIP) get zero updates
+            # (optax.set_to_zero, mirroring the reference optimizer's
+            # exclusion at train.py:160-162). stop_gradient on those LEAVES
+            # makes that structural: XLA skips their weight-grad einsums and
+            # the ~5 GB of frozen cotangent buffers, while gradients still
+            # flow THROUGH the SD UNet activations to the trainable
+            # conditioning path (clip_project / alpha_cond / time_embed).
+            params = jax.tree_util.tree_map(
+                lambda p, l: jax.lax.stop_gradient(p) if l == "frozen" else p,
+                params, labels,
+            )
             variables = {"params": params, "batch_stats": state.batch_stats}
             (losses, _), mutated = model.apply(
                 variables, batch, statics, train=True,

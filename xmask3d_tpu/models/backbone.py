@@ -7,7 +7,8 @@ stride clamping to [4, 32], grouping into s2/s3/s4/s5, nearest-resize
 restore + per-group sum. Sliding-window forward is supported for
 high-resolution inputs. Gradient checkpointing (the reference's
 feature_extractor.py:138-143 toggle) is the `remat_backbone` config knob:
-XMask3D.setup wraps this module in flax.linen.remat when it is set.
+it applies flax.linen.remat at BLOCK granularity inside the SD UNet/VAE
+(per res/transformer block), which is what actually caps backward peak.
 """
 
 from __future__ import annotations
@@ -70,6 +71,7 @@ class FeatureExtractorBackbone(nn.Module):
     max_stride: int = 32
     projection_dim: int = 512
     dtype: Any = jnp.float32
+    remat: bool = False  # block-level remat inside the SD UNet/VAE
 
     def _grouping(self):
         strides = self.ldm_cfg.feature_strides()
@@ -91,7 +93,7 @@ class FeatureExtractorBackbone(nn.Module):
 
     def setup(self):
         self.feature_extractor = LdmImplicitCaptionerExtractor(
-            self.ldm_cfg, dtype=self.dtype
+            self.ldm_cfg, dtype=self.dtype, remat=self.remat
         )
         n_taps = len(self.ldm_cfg.feature_strides())
         self.feature_projections = [

@@ -85,6 +85,7 @@ class LdmExtractor(nn.Module):
 
     cfg: LdmConfig = LDM_SD_V1
     dtype: Any = jnp.float32
+    remat: bool = False  # block-level remat in the VAE/UNet (training)
 
     def setup(self):
         c = self.cfg
@@ -93,8 +94,12 @@ class LdmExtractor(nn.Module):
             encoder_taps=c.encoder_block_indices,
             decoder_taps=c.decoder_block_indices,
             dtype=self.dtype,
+            remat=self.remat,
         )
-        self.unet = SDUNet(c.unet, tap_indices=c.unet_block_indices, dtype=self.dtype)
+        self.unet = SDUNet(
+            c.unet, tap_indices=c.unet_block_indices, dtype=self.dtype,
+            remat=self.remat,
+        )
         self.text_encoder = CLIPTextTower(c.text, dtype=self.dtype)
         self.diffusion = GaussianDiffusion.create(
             steps=c.diffusion_steps, noise_schedule=c.noise_schedule
@@ -180,10 +185,11 @@ class LdmImplicitCaptionerExtractor(nn.Module):
     num_timesteps: int = 1
     dim_latent: int = 768
     dtype: Any = jnp.float32
+    remat: bool = False
 
     def setup(self):
         c = self.cfg
-        self.ldm_extractor = LdmExtractor(c, dtype=self.dtype)
+        self.ldm_extractor = LdmExtractor(c, dtype=self.dtype, remat=self.remat)
         self.clip_project = PositionalLinear(
             c.text.width, seq_len=c.text.context_length, dtype=self.dtype
         )

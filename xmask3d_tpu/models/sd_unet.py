@@ -149,6 +149,12 @@ class SDUNet(nn.Module):
     tap_indices: Sequence[int] = (2, 5, 8, 11)  # reference unet_block_indices
 
     dtype: Any = jnp.float32
+    # BLOCK-level gradient checkpointing: each res/transformer block is
+    # rematerialized independently, so backward peak holds only block
+    # boundaries + one block's internals (whole-module remat around the
+    # backbone does NOT reduce peak — its backward recomputes the entire
+    # forward at once). Free in eval mode.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -160,6 +166,8 @@ class SDUNet(nn.Module):
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         cfg = self.cfg
         mc = cfg.model_channels
+        ResBlock = nn.remat(UNetResBlock) if self.remat else UNetResBlock
+        SpatialT = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
         temb = timestep_embedding(t, mc)
         emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_0")(
             temb.astype(self.dtype)
@@ -179,11 +187,11 @@ class SDUNet(nn.Module):
         # input blocks
         for lv, mult in enumerate(cfg.ch_mult):
             for i in range(cfg.num_res_blocks):
-                h = UNetResBlock(mc * mult, dtype=self.dtype, name=f"down_{lv}_res_{i}")(
+                h = ResBlock(mc * mult, dtype=self.dtype, name=f"down_{lv}_res_{i}")(
                     h, emb
                 )
                 if lv in cfg.attention_levels:
-                    h = SpatialTransformer(
+                    h = SpatialT(
                         cfg.num_heads, dtype=self.dtype, name=f"down_{lv}_attn_{i}"
                     )(h, context)
                 hs.append(h)
@@ -195,11 +203,11 @@ class SDUNet(nn.Module):
                 hs.append(h)
 
         # middle
-        h = UNetResBlock(h.shape[-1], dtype=self.dtype, name="mid_res_0")(h, emb)
-        h = SpatialTransformer(cfg.num_heads, dtype=self.dtype, name="mid_attn")(
+        h = ResBlock(h.shape[-1], dtype=self.dtype, name="mid_res_0")(h, emb)
+        h = SpatialT(cfg.num_heads, dtype=self.dtype, name="mid_attn")(
             h, context
         )
-        h = UNetResBlock(h.shape[-1], dtype=self.dtype, name="mid_res_1")(h, emb)
+        h = ResBlock(h.shape[-1], dtype=self.dtype, name="mid_res_1")(h, emb)
 
         # output blocks
         out_idx = 0
@@ -208,11 +216,11 @@ class SDUNet(nn.Module):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 if out_idx in self.tap_indices:
                     taps.append(h)  # tap = concatenated block input
-                h = UNetResBlock(
+                h = ResBlock(
                     mc * cfg.ch_mult[lv], dtype=self.dtype, name=f"up_{lv}_res_{i}"
                 )(h, emb)
                 if lv in cfg.attention_levels:
-                    h = SpatialTransformer(
+                    h = SpatialT(
                         cfg.num_heads, dtype=self.dtype, name=f"up_{lv}_attn_{i}"
                     )(h, context)
                 if lv != 0 and i == cfg.num_res_blocks:

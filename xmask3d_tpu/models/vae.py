@@ -104,6 +104,7 @@ class VAEEncoder(nn.Module):
     cfg: VAEConfig = VAEConfig()
     tap_indices: Sequence[int] = (5, 7)  # reference encoder_block_indices
     dtype: Any = jnp.float32
+    remat: bool = False  # block-level gradient checkpointing
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -114,6 +115,8 @@ class VAEEncoder(nn.Module):
         block runs).
         """
         c = self.cfg
+        RB = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        AB = nn.remat(AttnBlock) if self.remat else AttnBlock
         taps = []
         flat_idx = 0
         h = nn.Conv(c.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
@@ -121,16 +124,16 @@ class VAEEncoder(nn.Module):
             for i_block in range(c.num_res_blocks):
                 if flat_idx in self.tap_indices:
                     taps.append(h)
-                h = ResnetBlock(
+                h = RB(
                     c.ch * mult, dtype=self.dtype,
                     name=f"down_{i_level}_block_{i_block}",
                 )(h)
                 flat_idx += 1
             if i_level != len(c.ch_mult) - 1:
                 h = Downsample(dtype=self.dtype, name=f"down_{i_level}_downsample")(h)
-        h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
+        h = RB(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
+        h = AB(dtype=self.dtype, name="mid_attn_1")(h)
+        h = RB(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
         h = group_norm(h.shape[-1], self.dtype, "norm_out")(h)
         h = h * jax.nn.sigmoid(h)  # swish, as written in the LDM encoder tail
         h = nn.Conv(
@@ -143,6 +146,7 @@ class VAEDecoder(nn.Module):
     cfg: VAEConfig = VAEConfig()
     tap_indices: Sequence[int] = (2, 5)  # reference decoder_block_indices
     dtype: Any = jnp.float32
+    remat: bool = False  # block-level gradient checkpointing
 
     @nn.compact
     def __call__(self, z) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -150,20 +154,22 @@ class VAEDecoder(nn.Module):
         flattened up-blocks from lowest resolution (reference ldm.py:448-482).
         """
         c = self.cfg
+        RB = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        AB = nn.remat(AttnBlock) if self.remat else AttnBlock
         taps = []
         n_lv = len(c.ch_mult)
         block_in = c.ch * c.ch_mult[-1]
         h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = RB(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        h = AB(dtype=self.dtype, name="mid_attn_1")(h)
+        h = RB(block_in, dtype=self.dtype, name="mid_block_2")(h)
         flat_idx = 0
         for rev, i_level in enumerate(reversed(range(n_lv))):
             out_ch = c.ch * c.ch_mult[i_level]
             for i_block in range(c.num_res_blocks + 1):
                 if flat_idx in self.tap_indices:
                     taps.append(h)
-                h = ResnetBlock(
+                h = RB(
                     out_ch, dtype=self.dtype, name=f"up_{i_level}_block_{i_block}"
                 )(h)
                 flat_idx += 1
@@ -184,10 +190,15 @@ class AutoencoderKL(nn.Module):
     encoder_taps: Sequence[int] = (5, 7)
     decoder_taps: Sequence[int] = (2, 5)
     dtype: Any = jnp.float32
+    remat: bool = False  # block-level gradient checkpointing
 
     def setup(self):
-        self.encoder = VAEEncoder(self.cfg, self.encoder_taps, dtype=self.dtype)
-        self.decoder = VAEDecoder(self.cfg, self.decoder_taps, dtype=self.dtype)
+        self.encoder = VAEEncoder(
+            self.cfg, self.encoder_taps, dtype=self.dtype, remat=self.remat
+        )
+        self.decoder = VAEDecoder(
+            self.cfg, self.decoder_taps, dtype=self.dtype, remat=self.remat
+        )
         self.quant_conv = nn.Dense(2 * self.cfg.embed_dim, dtype=self.dtype)
         self.post_quant_conv = nn.Dense(self.cfg.z_channels, dtype=self.dtype)
 

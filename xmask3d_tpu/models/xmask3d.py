@@ -178,12 +178,14 @@ class XMask3D(nn.Module):
         self.pc_binary_head = PCBinaryProcessor(
             arch=c.arch_binary_head, axis_name=self.axis_name, dtype=dt
         )
-        backbone_cls = (
-            nn.remat(FeatureExtractorBackbone)
-            if c.remat_backbone
-            else FeatureExtractorBackbone
+        # remat_backbone = BLOCK-level checkpointing inside the SD UNet/VAE
+        # (each res/transformer block recomputed in backward). Wrapping the
+        # whole backbone in one nn.remat was measured useless for peak HBM
+        # (AOT_FLAGSHIP.json round 3: 25.3 -> 25.9 GiB): its backward
+        # rematerializes the entire forward at once.
+        self.backbone = FeatureExtractorBackbone(
+            ldm_cfg=c.ldm, dtype=dt, remat=c.remat_backbone
         )
-        self.backbone = backbone_cls(ldm_cfg=c.ldm, dtype=dt)
         self.pixel_decoder = MSDeformAttnPixelDecoder(
             enc_layers=c.pixel_enc_layers, dtype=dt
         )

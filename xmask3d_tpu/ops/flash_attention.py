@@ -57,8 +57,11 @@ def flash_attention(
     q: jnp.ndarray,  # (B, H, Tq, D)
     k: jnp.ndarray,  # (B, H, Tk, D)
     v: jnp.ndarray,  # (B, H, Tk, D)
-    block_q: int = 256,
-    block_k: int = 256,
+    # 512/512 measured ~2x faster than 256/256 on v5e for the SD level-0
+    # 4096-token self-attn (0.54 vs 1.17 ms/iter, scripts/profile_sd.py);
+    # neutral at 1024 tokens. Blocks clamp to the sequence length below.
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, tq, d = q.shape
