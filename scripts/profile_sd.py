@@ -154,6 +154,49 @@ def main():
             measure("SD UNet full (eps+taps)", unet_full, ns, nl, reps,
                     variables=uv)
 
+    # UNet-internal breakdown: one ResBlock / SpatialTransformer per level
+    # at the REAL shapes (512^2 input -> 64^2 latent, SD v1 widths). Block
+    # counts in the full UNet (num_res_blocks=2, ch_mult (1,2,4,4), attn at
+    # levels 0-2 + mid): res 22, attn l0(64^2,320) 5, l1(32^2,640) 5,
+    # l2(16^2,1280) 5, mid(8^2,1280) 1.
+    if want("unet_blocks"):
+        from xmask3d_tpu.models.sd_unet import SpatialTransformer, UNetResBlock
+
+        emb = jax.random.normal(key, (1, 1280), jnp.bfloat16)
+        ctx = jax.random.normal(key, (1, 77, 768), jnp.bfloat16)
+        for res, ch in ((64, 320), (32, 640), (16, 1280), (8, 1280)):
+            x = jax.random.normal(key, (1, res, res, ch), jnp.bfloat16)
+
+            rb = UNetResBlock(ch, dtype=jnp.bfloat16)
+            rv = jax.jit(rb.init)(key, x, emb)
+
+            def res_fn(v, c, rb=rb, x=x):
+                return leaves_sum(rb.apply(v, x + c * 1e-12, emb))
+
+            measure(f"UNet ResBlock {res}^2 c{ch}", res_fn, ns, nl, reps,
+                    variables=rv)
+
+            # up-path resblock: skip-concat doubles the input channels
+            rb2 = UNetResBlock(ch, dtype=jnp.bfloat16)
+            x2 = jnp.concatenate([x, x], axis=-1)
+            rv2 = jax.jit(rb2.init)(key, x2, emb)
+
+            def res2_fn(v, c, rb2=rb2, x2=x2):
+                return leaves_sum(rb2.apply(v, x2 + c * 1e-12, emb))
+
+            measure(f"UNet ResBlock {res}^2 c{2*ch}->c{ch}", res2_fn, ns, nl,
+                    reps, variables=rv2)
+
+            if ch < 1280 or res == 16 or res == 8:
+                st = SpatialTransformer(8, dtype=jnp.bfloat16)
+                sv = jax.jit(st.init)(key, x, ctx)
+
+                def st_fn(v, c, st=st, x=x):
+                    return leaves_sum(st.apply(v, x + c * 1e-12, ctx))
+
+                measure(f"UNet SpatialTransformer {res}^2 c{ch}", st_fn, ns,
+                        nl, reps, variables=sv)
+
     # level-0 self-attention in isolation: 8 heads x 4096 tokens x d=40
     if want("attn"):
         from xmask3d_tpu.ops.flash_attention import (

@@ -205,24 +205,34 @@ def _spconv2_kernel(lo_ref, hi_ref, idx_ref, wt_ref, ft_ref, out_ref, *, n_taps)
     t0 = lo_ref[b, j]
     t1 = hi_ref[b, j]
 
-    def body(t, acc):
-        c0 = pl.multiple_of(t * 128, 128)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) + c0
-        onehot = (rows == idxv).astype(ft_ref.dtype)  # (128, KQT)
-        vt = ft_ref[0, :, pl.ds(c0, 128)]  # (C_in, 128)
-        return acc + jnp.dot(vt, onehot, preferred_element_type=jnp.float32)
+    # A fully-padded q-tile (all indices -1: capacity padding past the level's
+    # live voxel count) has an empty union band (t1 < t0). Skip not just the
+    # band sweep but the K weight matmuls too — at deep levels (256ch, caps
+    # 2-4x the live count) those dots are the whole cost of a dead tile.
+    @pl.when(t1 < t0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    gath = jax.lax.fori_loop(
-        t0, t1 + 1, body, jnp.zeros((cin, kqt), jnp.float32)
-    ).astype(wt_ref.dtype)
+    @pl.when(t1 >= t0)
+    def _():
+        def body(t, acc):
+            c0 = pl.multiple_of(t * 128, 128)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) + c0
+            onehot = (rows == idxv).astype(ft_ref.dtype)  # (128, KQT)
+            vt = ft_ref[0, :, pl.ds(c0, 128)]  # (C_in, 128)
+            return acc + jnp.dot(vt, onehot, preferred_element_type=jnp.float32)
 
-    acc = jnp.zeros((out_ref.shape[1], qt), jnp.float32)
-    for k in range(n_taps):  # static unroll; tap count is static
-        acc += jnp.dot(
-            wt_ref[k], gath[:, k * qt : (k + 1) * qt],
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[0] = acc
+        gath = jax.lax.fori_loop(
+            t0, t1 + 1, body, jnp.zeros((cin, kqt), jnp.float32)
+        ).astype(wt_ref.dtype)
+
+        acc = jnp.zeros((out_ref.shape[1], qt), jnp.float32)
+        for k in range(n_taps):  # static unroll; tap count is static
+            acc += jnp.dot(
+                wt_ref[k], gath[:, k * qt : (k + 1) * qt],
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0] = acc
 
 
 def sparse_conv_pallas_v2(
