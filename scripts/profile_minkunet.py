@@ -1,0 +1,70 @@
+"""Honest in-net MinkUNet timing (chained-scan, dispatch-floor-cancelling).
+
+Same methodology as profile_sd.py: chain the net through a lax.scan carry
+(a tiny data dependence per iteration defeats LICM), time two scan lengths,
+report the slope. Measures both flagship sparse nets on a surface-like
+synthetic scene at bench capacities, under the current kernel impl
+(XMASK3D_SPARSE_IMPL env selects pallas/xla for A/B).
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_minkunet.py \
+       [--n-short 4] [--n-long 16] [--reps 5] [--points 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from xmask3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import sys
+
+sys.path.insert(0, "scripts")
+from profile_sd import measure  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-short", type=int, default=4)
+    p.add_argument("--n-long", type=int, default=16)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--points", type=int, default=20000)
+    args = p.parse_args()
+
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    key = jax.random.PRNGKey(0)
+
+    from xmask3d_tpu.data.batching import Capacities
+    from xmask3d_tpu.data.synthetic import synthetic_batch
+    from xmask3d_tpu.models.minkunet import mink_unet
+
+    caps = Capacities(max_points=32768, max_voxels=24576, max_targets=24)
+    b = synthetic_batch(1, caps, seed=0, num_points=args.points,
+                        image_size=(64, 64))
+    h = jax.tree_util.tree_map(jnp.asarray, b["hierarchy"])
+    feats = jnp.asarray(b["voxel_feats"], jnp.bfloat16)
+    occ = [int(jnp.sum(lv["valid"])) for lv in h["levels"]] \
+        if isinstance(h, dict) and "levels" in h else None
+    if occ:
+        print("level occupancy:", occ, flush=True)
+
+    for arch, out_ch in (("MinkUNet34C", 256), ("MinkUNet14A", 2)):
+        mu = mink_unet(out_channels=out_ch, arch=arch, dtype=jnp.bfloat16)
+        mv = jax.jit(lambda k, f, hh, mu=mu: mu.init(k, f, hh, False))(
+            key, feats, h
+        )
+
+        def fn(v, c, mu=mu):
+            bottleneck, out = mu.apply(v, feats + c * 1e-12, h, False)
+            return (jnp.sum(out) + jnp.sum(bottleneck)).astype(jnp.float32)
+
+        measure(f"{arch} in-net ({args.points} pts)", fn, args.n_short,
+                args.n_long, args.reps, variables=mv)
+
+
+if __name__ == "__main__":
+    main()
