@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xmask3d_tpu.models.layers import group_norm
+from xmask3d_tpu.ops.flash_attention import attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,14 +66,12 @@ class AttnBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         y = group_norm(x.shape[-1], self.dtype, "norm")(x)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, h * w, c)
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, h * w, c)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, h * w, c)
-        scores = jnp.einsum(
-            "bqc,bkc->bqk", q * (c**-0.5), k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, 1, h * w, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, 1, h * w, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, 1, h * w, c)
+        # flash path on TPU: at 64^2 latents the XLA formulation materializes
+        # a (4096, 4096) fp32 score matrix (67 MB of HBM round-trips)
+        out = attention(q, k, v).reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
 

@@ -66,6 +66,11 @@ def flash_attention(
 ) -> jnp.ndarray:
     b, h, tq, d = q.shape
     tk = k.shape[2]
+    if d > 256:
+        # wide single-head attention (VAE mid block, d=512): the kernel holds
+        # the full (tk, d) K/V in VMEM (~8.4 MB at tk=4096 bf16), so shrink
+        # the query block to keep scratch under the ~16 MB VMEM budget
+        block_q = min(block_q, 256)
     block_q = min(block_q, tq)
     block_k = min(block_k, tk)
     if tq % block_q or tk % block_k:
@@ -142,7 +147,7 @@ def attention(q, k, v):
         and backend == "tpu"
         and tq % 128 == 0
         and tk % 128 == 0
-        and q.shape[-1] <= 256
+        and q.shape[-1] <= 512
     )
     if supported:
         return _flash_diff(q, k, v)
