@@ -1,0 +1,85 @@
+"""Honest in-net timing of the FULL eval/infer step (chained-scan).
+
+Chains the complete XMask3D eval forward (+ ensemble/routing) through a
+lax.scan carry at the bench shapes, so the slope is pure device compute —
+comparable against the sum of per-component numbers (BASELINE.md) to
+attribute glue cost. Scan lengths stay SMALL (the relay's remote-compile
+service dies on very large programs; the full model body is already big).
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_e2e.py \
+       [--n-short 1] [--n-long 3] [--reps 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from xmask3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+sys.path.insert(0, "scripts")
+from profile_sd import measure  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-short", type=int, default=1)
+    p.add_argument("--n-long", type=int, default=3)
+    p.add_argument("--reps", type=int, default=5)
+    args = p.parse_args()
+
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+
+    from xmask3d_tpu.config import load_config
+    from xmask3d_tpu.data.batching import Capacities
+    from xmask3d_tpu.data.synthetic import synthetic_batch
+    from xmask3d_tpu.engine.builder import init_model
+    from xmask3d_tpu.engine.infer import ensemble_and_route
+    from xmask3d_tpu.engine.infer_cli import cast_params_bf16
+
+    cfg = load_config("configs/scannet/xmask3d_scannet_B15N4.yaml")
+    caps = Capacities(max_points=32768, max_voxels=24576, max_targets=24)
+    batch = synthetic_batch(1, caps, seed=0, num_points=20000,
+                            image_size=(512, 512),
+                            mask_shape=tuple(cfg.mask_shape))
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    model, variables, statics = init_model(cfg, batch)
+    statics = jax.tree_util.tree_map(jnp.asarray, statics)
+    variables = cast_params_bf16(variables)
+    mc = model.cfg
+
+    def eval_fn(v, c):
+        b = dict(batch)
+        b["img"] = batch["img"] + (c * 1e-12).astype(batch["img"].dtype)
+        _, outputs = model.apply(
+            v, b, statics, train=False, rngs={"points": jax.random.PRNGKey(0)}
+        )
+        return jnp.sum(
+            outputs["fused_pred_feature"].astype(jnp.float32)
+        )
+
+    def infer_fn(v, c):
+        b = dict(batch)
+        b["img"] = batch["img"] + (c * 1e-12).astype(batch["img"].dtype)
+        _, outputs = model.apply(
+            v, b, statics, train=False, rngs={"points": jax.random.PRNGKey(0)}
+        )
+        routed = ensemble_and_route(
+            outputs, mc.base_category, mc.novel_category, mc.num_test_classes,
+            cfg.base_ratio, cfg.novel_ratio,
+        )
+        return jnp.sum(routed["pred"].astype(jnp.float32))
+
+    measure("eval forward (fused feat)", eval_fn, args.n_short, args.n_long,
+            args.reps, variables=variables)
+    measure("infer step (+ensemble/route)", infer_fn, args.n_short,
+            args.n_long, args.reps, variables=variables)
+
+
+if __name__ == "__main__":
+    main()
