@@ -123,8 +123,7 @@ def main():
 
     if scene_reuse:
 
-        @jax.jit
-        def infer_step(variables, batch, statics, votes, counter, scene3d):
+        def view_body(variables, batch, statics, votes, counter, scene3d):
             p_view = batch["point_valid"].shape[1]
             ids = jnp.broadcast_to(
                 jnp.arange(p_view), batch["point_valid"].shape
@@ -154,8 +153,7 @@ def main():
 
     else:
 
-        @jax.jit
-        def infer_step(variables, batch, statics, votes, counter):
+        def view_body(variables, batch, statics, votes, counter):
             _, outputs = model.apply(
                 variables, batch, statics, train=False,
                 rngs={"points": jax.random.PRNGKey(0)},
@@ -172,6 +170,29 @@ def main():
                 votes, counter, ids.reshape(-1), pred.reshape(-1),
                 batch["point_valid"].reshape(-1),
             )
+
+    infer_step = jax.jit(view_body)
+
+    # BENCH_SCAN_VIEWS=1 (default): run the whole scene's view loop INSIDE
+    # one device program — lax.scan over view indices into a stacked view
+    # buffer, voting in the scan carry. The per-view protocol is unchanged
+    # (batch-1 sequential forwards, on-device voting, reference
+    # infer.py:375-694); what it removes is the per-view dispatch round-trip,
+    # which costs ~20 ms/view through the relay (profile_e2e.py: full
+    # infer step = 41.6 ms in-net vs ~61 ms/view dispatched). The program
+    # is the same size as one infer_step (scan bodies are traced once).
+    scan_views = os.environ.get("BENCH_SCAN_VIEWS", "1") == "1"
+
+    def scene_scan_body(variables, stacked, idxseq, statics, votes, counter,
+                        *extra):
+        def body(carry, i):
+            b = jax.tree_util.tree_map(lambda x: x[i], stacked)
+            return view_body(variables, b, statics, *carry, *extra), None
+
+        (votes, counter), _ = jax.lax.scan(body, (votes, counter), idxseq)
+        return votes, counter
+
+    scene_scan = jax.jit(scene_scan_body)
 
     def fresh_vote_state():
         return (
@@ -192,10 +213,13 @@ def main():
             return infer_step(variables, b, statics, *vc, _scene_state["s3"])
         return infer_step(variables, b, statics, *vc)
 
-    # compile + warmup
-    scene_begin()
-    votes, counter = step_view(batch, fresh_vote_state())
-    jax.block_until_ready((votes, counter))
+    # compile + warmup (scan mode compiles the scene program in measure()'s
+    # warmup pass instead — compiling both programs doubles relay compile
+    # time for no benefit)
+    if not scan_views or os.environ.get("BENCH_INCLUDE_HOST", "0") == "1":
+        scene_begin()
+        votes, counter = step_view(batch, fresh_vote_state())
+        jax.block_until_ready((votes, counter))
 
     # BENCH_INCLUDE_HOST=1: the honest end-to-end mode — every view is
     # built on the host DURING the timed window (synthetic stand-ins for
@@ -287,21 +311,33 @@ def main():
         jax.block_until_ready(b)
     steps_per_scene = max(1, VIEWS_PER_SCENE // view_batch)
 
-    def measure():
-        # untimed warmup pass: first-touch of program workspace + buffers
+    stacked = None
+    idxseq = None
+    if scan_views:
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *views
+        )
+        idxseq = jnp.arange(steps_per_scene, dtype=jnp.int32) % len(views)
+
+    def run_scene():
         scene_begin()
         vc = fresh_vote_state()
-        for b in views:
-            vc = step_view(b, vc)
+        if scan_views:
+            extra = (_scene_state["s3"],) if scene_reuse else ()
+            return scene_scan(variables, stacked, idxseq, statics, *vc, *extra)
+        for i in range(steps_per_scene):
+            vc = step_view(views[i % len(views)], vc)
+        return vc
+
+    def measure():
+        # untimed warmup pass: first-touch of program workspace + buffers
+        vc = run_scene()
         np.asarray(vc[0].argmax(1))
         t0 = time.time()
         sink = 0
         for s in range(NUM_SCENES):
             ts = time.time()
-            scene_begin()
-            vc = fresh_vote_state()
-            for i in range(steps_per_scene):
-                vc = step_view(views[i % len(views)], vc)
+            vc = run_scene()
             # one host transfer per scene: the voted per-point prediction
             # (forces materialization of the whole scene's compute)
             sink += int(np.asarray(vc[0].argmax(1)).sum())

@@ -155,3 +155,19 @@ def test_val_batch_count_whole_split():
     assert val_batch_count(1, 8) == 1
     assert val_batch_count(0, 8) == 1
     assert val_batch_count(None, 8, val_batches_default=4) == 4
+
+
+def test_upsample2x_nearest_matches_resize():
+    # broadcast+reshape upsample (models/layers.py) must be bit-identical to
+    # jax.image.resize nearest at integer scale 2 (the only scale it's used
+    # at: SD UNet up path, VAE decoder upsample)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xmask3d_tpu.models.layers import upsample2x_nearest
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 7, 3), jnp.float32)
+    ref = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
+    out = upsample2x_nearest(x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

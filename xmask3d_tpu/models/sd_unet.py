@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xmask3d_tpu.models.layers import group_norm
+from xmask3d_tpu.models.layers import group_norm, upsample2x_nearest
 from xmask3d_tpu.ops.flash_attention import attention
 
 
@@ -224,10 +224,9 @@ class SDUNet(nn.Module):
                         cfg.num_heads, dtype=self.dtype, name=f"up_{lv}_attn_{i}"
                     )(h, context)
                 if lv != 0 and i == cfg.num_res_blocks:
-                    b_, hh, ww, cc = h.shape
-                    h = jax.image.resize(h, (b_, 2 * hh, 2 * ww, cc), method="nearest")
+                    h = upsample2x_nearest(h)
                     h = nn.Conv(
-                        cc, (3, 3), padding=1, dtype=self.dtype,
+                        h.shape[-1], (3, 3), padding=1, dtype=self.dtype,
                         name=f"up_{lv}_upsample",
                     )(h)
                 out_idx += 1

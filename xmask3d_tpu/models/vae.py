@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xmask3d_tpu.models.layers import group_norm
+from xmask3d_tpu.models.layers import group_norm, upsample2x_nearest
 from xmask3d_tpu.ops.flash_attention import attention
 
 
@@ -95,7 +95,7 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+        x = upsample2x_nearest(x)
         return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
