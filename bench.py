@@ -40,7 +40,6 @@ def main():
     from xmask3d_tpu.data.batching import Capacities
     from xmask3d_tpu.data.synthetic import synthetic_batch
     from xmask3d_tpu.engine.builder import init_model
-    from xmask3d_tpu.engine.infer import ensemble_and_route
 
     size = os.environ.get("BENCH_SIZE", "full")
     tiny = size == "tiny"
@@ -87,7 +86,6 @@ def main():
 
         variables = cast_params_bf16(variables)
 
-    from xmask3d_tpu.engine.infer import device_vote_add
 
     n_classes = mc.num_test_classes
 
@@ -121,84 +119,24 @@ def main():
         scene_batch_dev = jax.tree_util.tree_map(jnp.asarray, sb)
         scene_3d_step = make_scene_3d_step(model)
 
-    if scene_reuse:
+    from xmask3d_tpu.engine import serve
 
-        def view_body(variables, batch, statics, votes, counter, scene3d):
-            p_view = batch["point_valid"].shape[1]
-            ids = jnp.broadcast_to(
-                jnp.arange(p_view), batch["point_valid"].shape
-            )
-            precomp = {
-                "imp_condition": scene3d["imp_condition"],
-                "pred_3d": jnp.take_along_axis(
-                    scene3d["pred_3d"], ids[..., None], axis=1
-                ),
-                "binary_scores": jnp.take_along_axis(
-                    scene3d["binary_scores"], ids, axis=1
-                ),
-            }
-            _, outputs = model.apply(
-                variables, batch, statics, train=False, precomp_3d=precomp,
-                rngs={"points": jax.random.PRNGKey(0)},
-            )
-            routed = ensemble_and_route(
-                outputs, mc.base_category, mc.novel_category,
-                mc.num_test_classes, cfg.base_ratio, cfg.novel_ratio,
-            )
-            pred = routed["pred"]
-            return device_vote_add(
-                votes, counter, ids.reshape(-1), pred.reshape(-1),
-                batch["point_valid"].reshape(-1),
-            )
-
-    else:
-
-        def view_body(variables, batch, statics, votes, counter):
-            _, outputs = model.apply(
-                variables, batch, statics, train=False,
-                rngs={"points": jax.random.PRNGKey(0)},
-            )
-            routed = ensemble_and_route(
-                outputs, mc.base_category, mc.novel_category, mc.num_test_classes,
-                cfg.base_ratio, cfg.novel_ratio,
-            )
-            # multi-view voting stays ON DEVICE (reference infer.py:642-647);
-            # the host pulls one argmax per scene, not one prediction per view
-            pred = routed["pred"]
-            ids = jnp.broadcast_to(jnp.arange(pred.shape[1]), pred.shape)
-            return device_vote_add(
-                votes, counter, ids.reshape(-1), pred.reshape(-1),
-                batch["point_valid"].reshape(-1),
-            )
-
-    infer_step = jax.jit(view_body)
+    infer_step = jax.jit(serve.make_view_body(model, cfg))
 
     # BENCH_SCAN_VIEWS=1 (default): run the whole scene's view loop INSIDE
     # one device program — lax.scan over view indices into a stacked view
-    # buffer, voting in the scan carry. The per-view protocol is unchanged
-    # (batch-1 sequential forwards, on-device voting, reference
-    # infer.py:375-694); what it removes is the per-view dispatch round-trip,
-    # which costs ~20 ms/view through the relay (profile_e2e.py: full
-    # infer step = 41.6 ms in-net vs ~61 ms/view dispatched). The program
-    # is the same size as one infer_step (scan bodies are traced once).
+    # buffer, voting in the scan carry (engine/serve.py). The per-view
+    # protocol is unchanged (batch-1 sequential forwards, on-device voting,
+    # reference infer.py:375-694); it bounds dispatch overhead at one
+    # round-trip per scene (measured +0.003 scenes/sec on the relay, whose
+    # async dispatch already pipelines — bigger on hosts where per-view
+    # launches aren't free). The program is the same size as one infer_step
+    # (scan bodies are traced once).
     scan_views = os.environ.get("BENCH_SCAN_VIEWS", "1") == "1"
-
-    def scene_scan_body(variables, stacked, idxseq, statics, votes, counter,
-                        *extra):
-        def body(carry, i):
-            b = jax.tree_util.tree_map(lambda x: x[i], stacked)
-            return view_body(variables, b, statics, *carry, *extra), None
-
-        (votes, counter), _ = jax.lax.scan(body, (votes, counter), idxseq)
-        return votes, counter
-
-    scene_scan = jax.jit(scene_scan_body)
+    scene_scan = serve.make_scene_scan_step(model, cfg, scene_reuse=scene_reuse)
 
     def fresh_vote_state():
-        return (
-            jnp.zeros((caps.max_points, n_classes), jnp.int32),
-            jnp.zeros((caps.max_points,), jnp.int32),
-        )
+        return serve.fresh_vote_state(caps.max_points, n_classes)
 
     _scene_state = {}
 

@@ -53,9 +53,20 @@ def main():
     variables = cast_params_bf16(variables)
     mc = model.cfg
 
+    def chain(b, c):
+        # the carry must touch EVERY compute input, or XLA hoists the
+        # untouched branches out of the scan (LICM) and they get timed as
+        # zero — chaining only img silently excluded the whole 3D branch
+        # (MinkUNets run off voxel_feats) in the first version of this tool
+        b = dict(b)
+        b["img"] = b["img"] + (c * 1e-12).astype(b["img"].dtype)
+        b["voxel_feats"] = b["voxel_feats"] + (c * 1e-12).astype(
+            b["voxel_feats"].dtype
+        )
+        return b
+
     def eval_fn(v, c):
-        b = dict(batch)
-        b["img"] = batch["img"] + (c * 1e-12).astype(batch["img"].dtype)
+        b = chain(batch, c)
         _, outputs = model.apply(
             v, b, statics, train=False, rngs={"points": jax.random.PRNGKey(0)}
         )
@@ -64,8 +75,7 @@ def main():
         )
 
     def infer_fn(v, c):
-        b = dict(batch)
-        b["img"] = batch["img"] + (c * 1e-12).astype(batch["img"].dtype)
+        b = chain(batch, c)
         _, outputs = model.apply(
             v, b, statics, train=False, rngs={"points": jax.random.PRNGKey(0)}
         )
