@@ -355,7 +355,15 @@ def sparse_conv_auto(
     "xla" (gather+matmul).
     """
     impl = os.environ.get("XMASK3D_SPCONV_IMPL", "pallas2")
-    if impl != "xla" and jax.default_backend() == "tpu":
+    # VMEM feasibility: the band kernels stage the FULL padded feature table
+    # (C_in, Vp) per grid cell. At view-level caps that is <2 MB, but
+    # scene-level caps (engine/scene_reuse.py, factor 4 -> ~98k voxels at
+    # 128ch = 25 MB bf16) blow the ~16 MB VMEM budget — the compile fails
+    # with a scoped-vmem OOM. Use the XLA gather path for over-budget levels.
+    vp = -(-feats.shape[1] // 128) * 128
+    table_bytes = vp * feats.shape[2] * feats.dtype.itemsize
+    if impl != "xla" and jax.default_backend() == "tpu" \
+            and table_bytes <= 10 * 1024 * 1024:
         # gather indices ride through float32 inside the kernel (exact only
         # below 2^24); fail loudly if capacities ever outgrow that.
         assert feats.shape[1] < (1 << 24), (
