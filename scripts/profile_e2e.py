@@ -85,6 +85,32 @@ def main():
         )
         return jnp.sum(routed["pred"].astype(jnp.float32))
 
+    def trunk_fn(v, c):
+        b = chain(batch, c)
+        out = model.apply(
+            v, b, statics, False,
+            method=lambda m, bb, ss, t: m._trunk(bb, ss, t),
+            rngs={"points": jax.random.PRNGKey(0)},
+        )
+        return jnp.sum(out["pred_masks"].astype(jnp.float32))
+
+    def run3d_fn(v, c):
+        b = chain(batch, c)
+        out = model.apply(
+            v, b, statics, False,
+            method=lambda m, bb, ss, t: m.run_3d(bb, train=t),
+            rngs={"points": jax.random.PRNGKey(0)},
+        )
+        return sum(
+            jnp.sum(x).astype(jnp.float32)
+            for x in jax.tree_util.tree_leaves(out)
+            if hasattr(x, "dtype")
+        )
+
+    measure("3D branch (run_3d)", run3d_fn, args.n_short, args.n_long,
+            args.reps, variables=variables)
+    measure("trunk (backbone+decoders+3D)", trunk_fn, args.n_short,
+            args.n_long, args.reps, variables=variables)
     measure("eval forward (fused feat)", eval_fn, args.n_short, args.n_long,
             args.reps, variables=variables)
     measure("infer step (+ensemble/route)", infer_fn, args.n_short,
