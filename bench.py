@@ -50,6 +50,16 @@ def main():
         cfg.mask_shape = [24, 32]
         ctx, vocab = 16, 512
         npts = 400
+    elif size == "worst":
+        # protocol worst case: the reference accepts views up to 65k
+        # projected points (config caps 65536/49152); the default bench view
+        # (20k pts / 24k voxels) is a mid-sized view. BENCH_SIZE=worst runs
+        # the full config caps with a dense synthetic scene so the headline
+        # can be qualified against the protocol ceiling (VERDICT r2 weak #2).
+        caps = Capacities(max_points=65536, max_voxels=49152, max_targets=24)
+        image = 512
+        ctx, vocab = 77, 49408
+        npts = 60000
     else:
         caps = Capacities(max_points=32768, max_voxels=24576, max_targets=24)
         image = 512

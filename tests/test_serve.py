@@ -44,3 +44,27 @@ def test_scene_scan_matches_per_view_dispatch():
     np.testing.assert_array_equal(np.asarray(vc[0]), np.asarray(vc2[0]))
     np.testing.assert_array_equal(np.asarray(vc[1]), np.asarray(vc2[1]))
     assert int(np.asarray(vc2[1]).max()) > 0  # votes actually accumulated
+
+
+def test_one_hot_vote_matches_scatter_vote():
+    # the identity-ids fast path in make_view_body must equal
+    # device_vote_add's scatter semantics (negative/invalid dropped)
+    from xmask3d_tpu.engine.infer import device_vote_add
+
+    rng = np.random.RandomState(0)
+    p, c = 64, 7
+    votes = jnp.zeros((p, c), jnp.int32)
+    counter = jnp.zeros((p,), jnp.int32)
+    pred = jnp.asarray(rng.randint(0, c, size=(p,)), jnp.int32)
+    valid = jnp.asarray(rng.rand(p) > 0.3)
+
+    ids = jnp.arange(p, dtype=jnp.int32)
+    v_ref, c_ref = device_vote_add(votes, counter, ids, pred, valid)
+
+    upd = valid.astype(jnp.int32)
+    onehot = jax.nn.one_hot(pred, c, dtype=jnp.int32)
+    v_new = votes + onehot * upd[:, None]
+    c_new = counter + upd
+
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_new))
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_new))

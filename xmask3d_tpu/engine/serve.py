@@ -57,6 +57,15 @@ def make_view_body(model, cfg):
             cfg.base_ratio, cfg.novel_ratio,
         )
         pred = routed["pred"]
+        if p_view == votes.shape[0] and batch["point_valid"].shape[0] == 1:
+            # point ids are the identity here (the per-view capacity IS the
+            # vote table), so the scatter-add in device_vote_add degenerates
+            # to a masked one-hot accumulate — much cheaper than a TPU
+            # scatter over 32k rows
+            valid = batch["point_valid"][0]
+            upd = valid.astype(jnp.int32)
+            onehot = jax.nn.one_hot(pred[0], votes.shape[1], dtype=jnp.int32)
+            return votes + onehot * upd[:, None], counter + upd
         return device_vote_add(
             votes, counter, ids.reshape(-1), pred.reshape(-1),
             batch["point_valid"].reshape(-1),
