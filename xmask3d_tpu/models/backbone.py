@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xmask3d_tpu.models.layers import group_norm
+from xmask3d_tpu.models.layers import group_norm, upsample_nearest_int
 
 from xmask3d_tpu.models.ldm_extractor import LdmConfig, LdmImplicitCaptionerExtractor
 
@@ -124,9 +124,15 @@ class FeatureExtractorBackbone(nn.Module):
                 f = taps[idx]
                 target = (f.shape[0], h // stride, w // stride, f.shape[-1])
                 # reference F.interpolate default = nearest
-                # (feature_extractor.py:153-159)
+                # (feature_extractor.py:153-159); integer upscales take the
+                # broadcast form (resize lowers to TPU gathers — layers.py)
                 if f.shape[1:3] != target[1:3]:
-                    f = jax.image.resize(f, target, method="nearest")
+                    sh, rh = divmod(target[1], f.shape[1])
+                    sw, rw = divmod(target[2], f.shape[2])
+                    if rh == 0 and rw == 0 and sh >= 1 and sw >= 1:
+                        f = upsample_nearest_int(f, sh, sw)
+                    else:
+                        f = jax.image.resize(f, target, method="nearest")
                 p = self.feature_projections[idx](f)
                 acc = p if acc is None else acc + p
             out[name] = acc

@@ -18,13 +18,20 @@ def group_norm(channels: int, dtype, name: str, preferred: int = 32) -> nn.Group
     return nn.GroupNorm(gn_groups(channels, preferred), dtype=dtype, name=name)
 
 
-def upsample2x_nearest(x):
-    """Exact 2x nearest-neighbor upsample of (B, H, W, C) via
+def upsample_nearest_int(x, sh: int, sw: int):
+    """Integer-factor nearest-neighbor upsample of (B, H, W, C) via
     broadcast+reshape — identical values to jax.image.resize(method="nearest")
-    at integer scale 2 (each pixel repeated 2x2), but lowers to a fused
-    broadcast instead of a gather on TPU."""
+    at integer scales (output pixel i maps to input floor((i+0.5)/s), which
+    is plain repetition for integer s), but lowers to a fused broadcast
+    instead of a gather on TPU (the resize gathers cost the SD UNet ~7 ms
+    before the swap — BASELINE.md round 3)."""
     import jax.numpy as jnp
 
     b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, 2 * h, 2 * w, c)
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, sh, w, sw, c))
+    return x.reshape(b, h * sh, w * sw, c)
+
+
+def upsample2x_nearest(x):
+    """Exact 2x nearest-neighbor upsample (see upsample_nearest_int)."""
+    return upsample_nearest_int(x, 2, 2)
