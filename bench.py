@@ -16,6 +16,7 @@ the denominator is the documented A100 fp32 estimate of 0.15 scenes/sec
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,6 +27,76 @@ VIEWS_PER_SCENE = 30
 NUM_SCENES = 3
 
 # keep the TPU plugin env intact; bench runs on the real chip when present.
+
+# --- outage guard (VERDICT r3 weak #1) -------------------------------------
+# BENCH_r03.json was lost to a transient relay outage: the first device op
+# raised "Unable to initialize backend 'axon'" BEFORE measure()'s retry loop
+# could help. Worse, the relay can also HANG (device init blocks forever), so
+# in-process retries alone can't guard init. The fix: run the actual bench as
+# a child process, preceded by a tiny-matmul health probe that also runs in a
+# subprocess (a hung probe is killed by timeout, not inherited). Bounded
+# backoff until BENCH_MAX_WAIT is exhausted.
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((128, 128), jnp.bfloat16);"
+    "(x @ x).block_until_ready();"
+    "print('PROBE_OK')"
+)
+
+
+def _probe_backend(timeout):
+    """True iff a 128x128 matmul completes on the default backend in time."""
+    cmd = os.environ.get("BENCH_PROBE_CMD")
+    if cmd:  # test hook: substitute an arbitrary probe command
+        argv = ["sh", "-c", cmd]
+    else:
+        argv = [sys.executable, "-c", _PROBE_SRC]
+    try:
+        r = subprocess.run(
+            argv, timeout=timeout, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def orchestrate():
+    """Probe-then-run loop. Returns the child's exit code (0 on success)."""
+    max_wait = float(os.environ.get("BENCH_MAX_WAIT", "2700"))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", "2400"))
+    deadline = time.time() + max_wait
+    backoff = 15.0
+    attempt = 0
+    while True:
+        attempt += 1
+        if not _probe_backend(probe_timeout):
+            print(f"# backend probe {attempt} failed", flush=True)
+            if time.time() + backoff > deadline:
+                print("# backend never became healthy", flush=True)
+                return 1
+            time.sleep(backoff)
+            backoff = min(backoff * 2, 300.0)
+            continue
+        cmd = os.environ.get("BENCH_CHILD_CMD")
+        argv = ["sh", "-c", cmd] if cmd else [sys.executable, sys.argv[0]]
+        env = dict(os.environ, BENCH_CHILD="1")
+        try:
+            r = subprocess.run(argv, timeout=child_timeout, env=env)
+        except subprocess.TimeoutExpired:
+            print(f"# bench child timed out (attempt {attempt})", flush=True)
+            r = None
+        if r is not None and r.returncode == 0:
+            return 0
+        if r is not None:
+            print(f"# bench child rc={r.returncode} (attempt {attempt})",
+                  flush=True)
+        if time.time() + backoff > deadline:
+            return 1
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 300.0)
 
 
 def main():
@@ -323,4 +394,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD", "0") == "1":
+        main()
+    else:
+        sys.exit(orchestrate())

@@ -111,6 +111,101 @@ def test_scene_views_loader(mini_dataset):
     assert set(np.unique(v["sample"].labels_3d)) <= set(range(19)) | {20}
 
 
+@pytest.fixture(scope="module")
+def multi_view_dataset(tmp_path_factory):
+    """One scene, 5 views; views 1 and 3 are unacceptable (zero depth)."""
+    import imageio.v2 as imageio
+    import torch
+
+    root = tmp_path_factory.mktemp("scannet_mv")
+    for split in ("train", "val"):
+        d3 = root / "scannet_3d" / split
+        d3.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        n = 4000
+        pts = np.zeros((n, 3))
+        pts[:, 0] = rng.uniform(-1.5, 1.5, n)
+        pts[:, 1] = rng.uniform(-1.0, 1.0, n)
+        pts[:, 2] = rng.uniform(1.0, 3.0, n)
+        colors = rng.uniform(-1, 1, (n, 3))
+        labels = rng.randint(0, 19, n).astype(np.float64)
+        torch.save((pts, colors, labels), d3 / "scene0001_00_vh_clean_2.pth")
+
+    d2 = root / "scannet_2d" / "scene0001_00"
+    for sub in ["color", "depth", "pose", "label"]:
+        (d2 / sub).mkdir(parents=True)
+    rng = np.random.RandomState(1)
+    img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    lbl = rng.choice(LABEL_2D, size=(480, 640)).astype(np.uint8)
+    captions = {}
+    for i in range(5):
+        np.savetxt(d2 / "pose" / f"{i}.txt", np.eye(4))
+        imageio.imwrite(d2 / "color" / f"{i}.jpg", img)
+        depth_mm = 0 if i in (1, 3) else 2000  # zero depth -> no visible pts
+        imageio.imwrite(
+            d2 / "depth" / f"{i}.png",
+            np.full((240, 320), depth_mm, np.uint16),
+        )
+        imageio.imwrite(d2 / "label" / f"{i}.png", lbl)
+        captions[str(i)] = f"view {i}"
+    (root / "caption.json").write_text(
+        json.dumps({"scene0001_00": captions})
+    )
+    return root
+
+
+def test_val_view_iteration_is_deterministic(multi_view_dataset):
+    """val/test view selection replicates the reference's epoch-indexed
+    iteration (data_loader.py:149-160,199-201): start at epoch % n_views,
+    advance by 2 on every rejection, wrap modulo n_views.
+
+    Views 1 and 3 are rejected (zero depth), so:
+      epoch 0 -> try [0]          -> accept 0
+      epoch 1 -> try [1, 3, 0]    -> accept 0
+      epoch 2 -> try [2]          -> accept 2
+      epoch 6 -> try [1, 3, 0]    -> accept 0   (wraps: 6 % 5 == 1)
+    """
+    caps = Capacities(max_points=4096, max_voxels=4096, max_targets=24)
+    ds = ScanNetViews(
+        _cfg(multi_view_dataset, split="val"), caps, HashTokenizer(), seed=0
+    )
+    attempts = []
+    orig = ds._load_view
+
+    def spy(scene_name, img_dir, locs):
+        attempts.append(int(os.path.basename(img_dir)[:-4]))
+        return orig(scene_name, img_dir, locs)
+
+    ds._load_view = spy
+
+    for epoch, expect_tries in [(0, [0]), (1, [1, 3, 0]), (2, [2]), (6, [1, 3, 0])]:
+        attempts.clear()
+        ds.epoch = epoch
+        ds.get(0)
+        assert attempts == expect_tries, (epoch, attempts)
+
+    # same epoch twice -> identical sequence (run-to-run reproducibility)
+    attempts.clear()
+    ds.epoch = 1
+    ds.get(0)
+    first = list(attempts)
+    attempts.clear()
+    ds.get(0)
+    assert attempts == first
+
+    # train split keeps random sampling: over a few epochs the rejected
+    # views are never returned, and selection ignores .epoch
+    ds_train = ScanNetViews(
+        _cfg(multi_view_dataset, split="train"), caps, HashTokenizer(), seed=0
+    )
+    chosen = set()
+    for _ in range(8):
+        s = ds_train.get(0)
+        assert s is not None
+        chosen.add(s.caption_tokens.tobytes())
+    assert len(chosen) >= 2  # sampled more than one distinct view
+
+
 def test_scannet200_loader_remap(mini_dataset):
     """ScanNet200 branch: per-point labels come from the scannet_3d_200 .txt
     sidecar, raw ids outside label_2d are masked to ignore, kept ids remap to

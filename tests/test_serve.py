@@ -46,6 +46,76 @@ def test_scene_scan_matches_per_view_dispatch():
     assert int(np.asarray(vc2[1]).max()) > 0  # votes actually accumulated
 
 
+def test_resolve_vote_ids_identity_and_plumbed():
+    pv = jnp.asarray([[True, True, False, True]])
+    ids, valid, precomp = serve.resolve_vote_ids({"point_valid": pv})
+    np.testing.assert_array_equal(np.asarray(ids), [[0, 1, 2, 3]])
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(pv))
+    assert precomp is None
+
+    vp = jnp.asarray([[7, 3, -1, 2]], jnp.int32)
+    ids, valid, _ = serve.resolve_vote_ids(
+        {"point_valid": pv, "vote_point_ids": vp}
+    )
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(vp))
+    # padding rows (-1) stay ONLY as invalid via device_vote_add's sentinel;
+    # without scene3d the validity is the batch's point_valid untouched
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(pv))
+
+
+def test_resolve_vote_ids_masks_scene_invalid_rows():
+    # ADVICE r3 medium: ids beyond the scene table or pointing at dropped
+    # scene points must be voted as invalid, and gathers must stay in range
+    pv = jnp.asarray([[True, True, True, True, True]])
+    vp = jnp.asarray([[0, 2, 9, -1, 3]], jnp.int32)  # 9 out of range (rows=4)
+    scene3d = {
+        "imp_condition": jnp.zeros((1, 8)),
+        "pred_3d": jnp.arange(4 * 2, dtype=jnp.float32).reshape(1, 4, 2),
+        "binary_scores": jnp.asarray([[0.0, 1.0, 2.0, 3.0]]),
+        "point_valid": jnp.asarray([[True, True, False, True]]),  # 2 dropped
+    }
+    ids, valid, precomp = serve.resolve_vote_ids(
+        {"point_valid": pv, "vote_point_ids": vp}, scene3d
+    )
+    # row 0 -> scene 0 ok; row 1 -> scene 2 DROPPED; row 2 -> out of range;
+    # row 3 -> padding; row 4 -> scene 3 ok
+    np.testing.assert_array_equal(
+        np.asarray(valid), [[True, False, False, False, True]]
+    )
+    # gathers clamped in range: row 2 gathered scene row 3, row 3 row 0
+    np.testing.assert_array_equal(
+        np.asarray(precomp["binary_scores"]), [[0.0, 2.0, 3.0, 0.0, 3.0]]
+    )
+    got = np.asarray(precomp["pred_3d"])
+    assert got.shape == (1, 5, 2)
+    np.testing.assert_array_equal(got[0, 2], [6.0, 7.0])
+
+
+def test_vote_with_plumbed_ids_lands_on_scene_rows():
+    # multi-view voting with per-view scene ids through device_vote_add:
+    # votes must land on SCENE rows, not view-local rows (ADVICE r3 medium)
+    from xmask3d_tpu.engine.infer import device_vote_add
+
+    votes = jnp.zeros((6, 3), jnp.int32)
+    counter = jnp.zeros((6,), jnp.int32)
+    # view A rows -> scene points 4,1; view B rows -> scene points 1,5
+    for vp, preds in (([4, 1], [0, 2]), ([1, 5], [2, 1])):
+        ids, valid, _ = serve.resolve_vote_ids(
+            {
+                "point_valid": jnp.asarray([[True, True]]),
+                "vote_point_ids": jnp.asarray([vp], jnp.int32),
+            }
+        )
+        votes, counter = device_vote_add(
+            votes, counter, ids.reshape(-1),
+            jnp.asarray(preds, jnp.int32), valid.reshape(-1),
+        )
+    np.testing.assert_array_equal(np.asarray(counter), [0, 2, 0, 0, 1, 1])
+    assert int(np.asarray(votes)[1, 2]) == 2  # scene point 1 voted class 2 twice
+    assert int(np.asarray(votes)[4, 0]) == 1
+    assert int(np.asarray(votes)[5, 1]) == 1
+
+
 def test_one_hot_vote_matches_scatter_vote():
     # the identity-ids fast path in make_view_body must equal
     # device_vote_add's scatter semantics (negative/invalid dropped)

@@ -85,13 +85,20 @@ def scene_3d_batch(
 
 
 def make_scene_3d_step(model):
-    """jit: scene batch -> device-resident per-point 3D outputs."""
+    """jit: scene batch -> device-resident per-point 3D outputs.
+
+    The output carries the scene batch's `point_valid` so consumers can
+    exclude scene points that were dropped at capacity or whose voxel
+    overflowed — gathers against the scene tables clamp silently, so a
+    consumer that skips this mask votes wrong features (ADVICE r3)."""
 
     @jax.jit
     def step(variables, scene_batch):
-        return model.apply(
+        out = model.apply(
             variables, scene_batch, False, method=type(model).run_3d
         )
+        out["point_valid"] = scene_batch["point_valid"]
+        return out
 
     return step
 
@@ -107,7 +114,9 @@ def make_reuse_infer_step(model, cfg):
 
     @jax.jit
     def infer_step(variables, batch, statics, scene3d, view_point_ids):
-        ids = jnp.clip(view_point_ids, 0)
+        # -1 (and any out-of-range id) is never voted by the caller; clip to
+        # a real row so the gather stays in range
+        ids = jnp.clip(view_point_ids, 0, scene3d["pred_3d"].shape[1] - 1)
         precomp = {
             "imp_condition": scene3d["imp_condition"],
             "pred_3d": jnp.take_along_axis(
@@ -163,6 +172,11 @@ def run_scene_reuse(
         scene["coords"], scene.get("colors"), scene_caps,
         voxel_size=voxel_size, input_color=input_color,
     )
+    # host copy of the scene batch's validity: scene points dropped at
+    # capacity or whose voxel overflowed must not be voted — the device
+    # gathers against the scene tables clamp out-of-range ids silently, so
+    # those rows would otherwise carry last-row/voxel-0 features (ADVICE r3)
+    scene_pv = np.asarray(sb["point_valid"])[0]
     sb = jax.tree_util.tree_map(jnp.asarray, sb)
     scene3d = scene_3d_step(variables, sb)
 
@@ -173,14 +187,21 @@ def run_scene_reuse(
         batch = collate_views([view["sample"]], caps, num_base=num_base)
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         pv = np.asarray(batch["point_valid"])[0]
-        n_valid = int(pv.sum())
-        point_ids = np.where(view["visible"])[0][:n_valid]
+        # view row r corresponds to the r-th visible scene point; pv is NOT
+        # a prefix mask (collate_views clears interior rows whose voxel
+        # overflowed), so select rows by the actual mask, never [:pv.sum()]
+        view_sids = np.where(view["visible"])[0][: pv.shape[0]]
+        rows = np.arange(len(view_sids))
+        sids = view_sids
+        keep = pv[rows].copy()
+        keep &= sids < len(scene_pv)
+        keep &= scene_pv[np.clip(sids, 0, len(scene_pv) - 1)]
         ids = np.full((1, pv.shape[0]), -1, np.int32)
-        ids[0, : len(point_ids)] = point_ids
+        ids[0, rows[keep]] = sids[keep]
         preds = infer_step(variables, batch, statics, scene3d, jnp.asarray(ids))
 
         coords_p = np.zeros((pv.shape[0], 3), np.float32)
-        coords_p[: len(point_ids)] = scene["coords"][point_ids]
+        coords_p[rows] = scene["coords"][sids]
         covered = np.asarray(preds["covered_2d"])[0]
         match = nearest_covered_match(coords_p, covered, pv)
         pred_2d = route_2d(
@@ -195,5 +216,5 @@ def run_scene_reuse(
             ("pred_2d", pred_2d),
             ("pred_3d", preds["pred_3d"]),
         ):
-            voters[key].add_view(point_ids, np.asarray(arr)[0][: len(point_ids)])
+            voters[key].add_view(sids[keep], np.asarray(arr)[0][rows[keep]])
     return {k: v.finalize(scene["coords"]) for k, v in voters.items()}

@@ -13,6 +13,15 @@ per-view to per-scene.
 Used by bench.py (BENCH_SCAN_VIEWS, default on) and available for real
 serving via `make_scene_scan_step`. The scan body is traced once, so the
 compiled program is the same size as a single infer step.
+
+Point-id plumbing: when each view's rows map to different scene points
+(real serving), the stacked view batch must carry `vote_point_ids`
+(B, P_view) int32 — the scene point row each view row votes for, -1 for
+padding. Rows whose id is negative, out of vote-table range, or (in
+scene-reuse mode) maps to a scene point the scene batch dropped
+(`scene3d["point_valid"]`) are excluded from the vote. Without that key,
+rows vote under their own index — correct only when every view indexes one
+shared point table (the synthetic bench).
 """
 
 from __future__ import annotations
@@ -23,6 +32,41 @@ import jax
 import jax.numpy as jnp
 
 from xmask3d_tpu.engine.infer import device_vote_add, ensemble_and_route
+
+
+def resolve_vote_ids(batch, scene3d=None):
+    """Per-view vote ids + validity (+ scene-reuse precomp gathers).
+
+    Returns (ids, valid, precomp_3d_or_None). Without `vote_point_ids` in
+    the batch, rows vote under their own index (shared-point-table bench
+    shape). With it, -1 marks padding. In scene-reuse mode, rows whose id
+    is out of the scene table's range or whose scene point was dropped
+    (capacity / voxel overflow, `scene3d["point_valid"]`) are masked out of
+    the vote — the gathers clamp silently, so an unmasked consumer would
+    vote last-row/voxel-0 features (ADVICE r3)."""
+    pv = batch["point_valid"]
+    if "vote_point_ids" in batch:
+        ids = batch["vote_point_ids"].astype(jnp.int32)
+    else:
+        ids = jnp.broadcast_to(jnp.arange(pv.shape[1]), pv.shape)
+    valid = pv
+    if scene3d is None:
+        return ids, valid, None
+    scene_rows = scene3d["pred_3d"].shape[1]
+    gids = jnp.clip(ids, 0, scene_rows - 1)
+    precomp = {
+        "imp_condition": scene3d["imp_condition"],
+        "pred_3d": jnp.take_along_axis(
+            scene3d["pred_3d"], gids[..., None], axis=1
+        ),
+        "binary_scores": jnp.take_along_axis(
+            scene3d["binary_scores"], gids, axis=1
+        ),
+    }
+    valid = valid & (ids >= 0) & (ids < scene_rows)
+    if "point_valid" in scene3d:
+        valid = valid & jnp.take_along_axis(scene3d["point_valid"], gids, axis=1)
+    return ids, valid, precomp
 
 
 def make_view_body(model, cfg):
@@ -36,18 +80,9 @@ def make_view_body(model, cfg):
 
     def view_body(variables, batch, statics, votes, counter, scene3d=None):
         p_view = batch["point_valid"].shape[1]
-        ids = jnp.broadcast_to(jnp.arange(p_view), batch["point_valid"].shape)
-        kwargs = {}
-        if scene3d is not None:
-            kwargs["precomp_3d"] = {
-                "imp_condition": scene3d["imp_condition"],
-                "pred_3d": jnp.take_along_axis(
-                    scene3d["pred_3d"], ids[..., None], axis=1
-                ),
-                "binary_scores": jnp.take_along_axis(
-                    scene3d["binary_scores"], ids, axis=1
-                ),
-            }
+        identity_ids = "vote_point_ids" not in batch
+        ids, valid, precomp = resolve_vote_ids(batch, scene3d)
+        kwargs = {} if precomp is None else {"precomp_3d": precomp}
         _, outputs = model.apply(
             variables, batch, statics, train=False,
             rngs={"points": jax.random.PRNGKey(0)}, **kwargs,
@@ -57,18 +92,21 @@ def make_view_body(model, cfg):
             cfg.base_ratio, cfg.novel_ratio,
         )
         pred = routed["pred"]
-        if p_view == votes.shape[0] and batch["point_valid"].shape[0] == 1:
+        if (
+            identity_ids
+            and p_view == votes.shape[0]
+            and batch["point_valid"].shape[0] == 1
+        ):
             # point ids are the identity here (the per-view capacity IS the
             # vote table), so the scatter-add in device_vote_add degenerates
             # to a masked one-hot accumulate — much cheaper than a TPU
             # scatter over 32k rows
-            valid = batch["point_valid"][0]
-            upd = valid.astype(jnp.int32)
+            upd = valid[0].astype(jnp.int32)
             onehot = jax.nn.one_hot(pred[0], votes.shape[1], dtype=jnp.int32)
             return votes + onehot * upd[:, None], counter + upd
         return device_vote_add(
             votes, counter, ids.reshape(-1), pred.reshape(-1),
-            batch["point_valid"].reshape(-1),
+            valid.reshape(-1),
         )
 
     return view_body

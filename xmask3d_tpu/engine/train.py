@@ -65,9 +65,12 @@ def make_data_iter(
 ):
     """Build a batch iterator for the given split.
 
-    Returns (iterator, samples_per_host): samples_per_host is the number of
-    per-host samples per epoch (dataset length incl. the `loop` multiplier,
-    reference train.py:229-264), or None for synthetic data.
+    Returns (iterator, samples_per_host, dataset): samples_per_host is the
+    number of per-host samples per epoch (dataset length incl. the `loop`
+    multiplier, reference train.py:229-264), or None for synthetic data.
+    `dataset` is the ScanNetViews instance (None for synthetic) — the
+    trainer sets `.epoch` on the val dataset before each validation pass so
+    val-view iteration is deterministic (reference train.py:321).
     """
     if synthetic:
         from xmask3d_tpu.data.synthetic import synthetic_batch
@@ -89,7 +92,7 @@ def make_data_iter(
                 )
                 seed += 1
 
-        return it(), None
+        return it(), None, None
 
     from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetViews
     from xmask3d_tpu.data.tokenizer import build_tokenizer, require_real_tokenizer
@@ -127,15 +130,17 @@ def make_data_iter(
             i += cfg.batch_size
 
     workers = int(cfg.get("workers", 0))
-    if workers > 0:
+    if workers > 0 and train:
         # parallel batch construction (reference DataLoader workers,
-        # train.py:210-244); scene reads hit the RAM cache in ScanNetViews
+        # train.py:210-244); scene reads hit the RAM cache in ScanNetViews.
+        # Val stays serial: prefetched val batches would be built before
+        # the trainer sets ds.epoch, breaking deterministic view iteration.
         from xmask3d_tpu.data.prefetch import parallel_map_iterator
 
         iterator = parallel_map_iterator(ds.batch, index_iter(), workers)
     else:
         iterator = (ds.batch(idx) for idx in index_iter())
-    return iterator, len(order0)
+    return iterator, len(order0), ds
 
 
 def val_batch_count(val_samples, batch_size: int, val_batches_default: int = 4) -> int:
@@ -158,7 +163,7 @@ def main(argv=None):
     mesh = create_mesh(mesh_shape.get("data", -1), mesh_shape.get("model", 1))
     logger.info(f"mesh: {mesh}")
 
-    data, n_samples = make_data_iter(
+    data, n_samples, _ = make_data_iter(
         cfg, caps, args.synthetic, tiny=args.tiny,
         allow_hash_tokenizer=args.allow_hash_tokenizer,
     )
@@ -203,9 +208,10 @@ def main(argv=None):
 
     # held-out validation stream (reference val loader, train.py:260-264)
     val_data = None
+    val_ds = None
     best_iou = resumed_best_iou
     if cfg.evaluate:
-        val_data, val_samples = make_data_iter(
+        val_data, val_samples, val_ds = make_data_iter(
             cfg, caps, args.synthetic, tiny=args.tiny, split="val",
             allow_hash_tokenizer=args.allow_hash_tokenizer,
         )
@@ -250,6 +256,9 @@ def main(argv=None):
                 run_validation,
             )
 
+            if val_ds is not None:
+                # deterministic val-view iteration (reference train.py:321)
+                val_ds.epoch = epoch - 1
             validate_step = make_validate_step(model, cfg)
             variables_eval = {
                 "params": state.params, "batch_stats": state.batch_stats

@@ -142,12 +142,20 @@ def attention(q, k, v):
 
     backend = jax.default_backend()
     tq, tk = q.shape[2], k.shape[2]
+    d = q.shape[-1]
+    # the kernel stages the full (tk, d) K and V blocks in VMEM; gate on
+    # their actual byte size, not d alone — at fp32 (compute_dtype unset)
+    # tk=4096 d=512 K+V is ~16.8 MB and the kernel can fail VMEM allocation
+    # at compile time (ADVICE r3). 10 MB leaves room for q/o blocks+scratch;
+    # the bf16 serving shapes (8.4 MB at tk=4096 d=512) stay on the kernel.
+    kv_bytes = 2 * tk * d * jnp.dtype(k.dtype).itemsize
     supported = (
         os.environ.get("XMASK3D_FLASH_IMPL", "pallas") != "xla"
         and backend == "tpu"
         and tq % 128 == 0
         and tk % 128 == 0
-        and q.shape[-1] <= 512
+        and d <= 512
+        and kv_bytes <= 10 * 1024 * 1024
     )
     if supported:
         return _flash_diff(q, k, v)
