@@ -362,9 +362,15 @@ def convert_open_clip(sd: Dict[str, np.ndarray], text_layers=12, vision_layers=2
 
 
 def convert_me_kernel(w: np.ndarray) -> np.ndarray:
-    """(K, Cin, Cout) ME kernel -> ours, permuting offset order."""
+    """(K, Cin, Cout) ME kernel -> ours, permuting offset order.
+
+    ME stores kernel-size-1 kernels as 2-D (Cin, Cout); our SparseConv
+    keeps the offset axis, so those become (1, Cin, Cout)
+    (caught by tests/test_checkpoint_e2e.py load-shape check)."""
+    if w.ndim == 2:  # kernel_size=1
+        return w[None]
     k3 = w.shape[0]
     k = round(k3 ** (1 / 3))
-    if k**3 != k3:  # 1x1 kernels etc.
+    if k**3 != k3:
         return w
     return w[me_offset_permutation(k)]
