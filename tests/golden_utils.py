@@ -224,6 +224,48 @@ def install_m2f_misc_stub() -> None:
     _register(name, mod)
 
 
+def load_ref_classes(relpath: str, class_names, extra_globals=None):
+    """Exec selected top-level class definitions from a reference source
+    file, UNMODIFIED, into a fresh namespace.
+
+    Lets reference classes whose module has un-stubbable import chains
+    (e.g. ldm.py pulling the whole stable-diffusion package, odise.py
+    pulling maskformer_model) serve as numeric oracles: the class bodies
+    run verbatim; only the names they reference are supplied via
+    `extra_globals`. Returns the namespace dict.
+    """
+    import ast
+
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    path = relpath if relpath.startswith("/") else f"{REF}/{relpath}"
+    with open(path) as f:
+        src = f.read()
+    tree = ast.parse(src)
+    lines = src.splitlines(keepends=True)
+    ns = {
+        "torch": torch, "nn": nn, "F": F, "np": np,
+        "logging": __import__("logging"),
+        "Optional": __import__("typing").Optional,
+        "List": __import__("typing").List,
+        "Tuple": __import__("typing").Tuple,
+    }
+    if extra_globals:
+        ns.update(extra_globals)
+    found = set()
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name in set(class_names):
+            block = "".join(lines[node.lineno - 1 : node.end_lineno])
+            exec(compile(block, path, "exec"), ns)
+            found.add(node.name)
+    missing = set(class_names) - found
+    assert not missing, f"classes not found in {path}: {missing}"
+    return ns
+
+
 def load_ref_module(dotted: str):
     """Import a reference module without executing real package __init__s.
 

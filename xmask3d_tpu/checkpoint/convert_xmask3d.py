@@ -162,9 +162,27 @@ def convert_xmask3d_checkpoint(
     params[f"{pd}/mask_features/kernel"] = conv_w(sd[f"{pd_src}.mask_features.weight"])
     params[f"{pd}/mask_features/bias"] = sd[f"{pd_src}.mask_features.bias"]
 
-    # mask decoder (odise.py:329-597 / mask2former_transformer_decoder.py)
-    md_src = "sem_seg_head.predictor"
-    md = "mask_decoder"
+    convert_mask_decoder(sd, params, dec_layers=dec_layers)
+
+    # category head + fuser
+    params["category_embed/null_embed"] = np.asarray(
+        sd["category_head.null_embed"]
+    ).reshape(1, -1)
+    _linear(sd, "criterion.fuser.linear", "fuser/linear", params)
+
+    return params, stats
+
+
+def convert_mask_decoder(
+    sd,
+    params: Dict[str, np.ndarray],
+    dec_layers: int = 9,
+    md_src: str = "sem_seg_head.predictor",
+    md: str = "mask_decoder",
+) -> None:
+    """Predictor section (odise.py:329-597 /
+    mask2former_transformer_decoder.py) — factored out so golden tests can
+    convert a standalone reference decoder's state_dict."""
     params[f"{md}/query_feat"] = sd[f"{md_src}.query_feat.weight"]
     params[f"{md}/query_embed"] = sd[f"{md_src}.query_embed.weight"]
     params[f"{md}/level_embed"] = sd[f"{md_src}.level_embed.weight"]
@@ -217,11 +235,3 @@ def convert_xmask3d_checkpoint(
     params[f"{md}/post_mask_embed/logit_scale"] = np.asarray(
         sd[f"{pme}.logit_scale"]
     ).reshape(())
-
-    # category head + fuser
-    params["category_embed/null_embed"] = np.asarray(
-        sd["category_head.null_embed"]
-    ).reshape(1, -1)
-    _linear(sd, "criterion.fuser.linear", "fuser/linear", params)
-
-    return params, stats

@@ -284,23 +284,8 @@ class CLIP(nn.Module):
         mask: (B, Q, S, S) mask logits (pre-sigmoid).
         Returns (B, Q, E) mask embeddings.
         """
-        b, q = mask.shape[0], mask.shape[1]
-        p = self.vision_cfg.patch_size
-        g = self.vision_cfg.image_size // p
-        m = jax.nn.sigmoid(mask)
-        # max-pool to the patch grid
-        patch = m.reshape(b, q, g, p, g, p).max(axis=(3, 5))
-        blocked_patches = (patch < 0.5).reshape(b, q, g * g)
-
-        n_img = g * g
-        t = q + 1 + n_img
-        blocked = jnp.zeros((b, t, t), dtype=bool)
-        # nothing may attend to the mask tokens
-        blocked = blocked.at[:, :, :q].set(True)
-        # mask tokens may only attend to their own patches (+ cls token)
-        blocked = blocked.at[:, :q, q + 1 :].set(blocked_patches)
-        blocked = blocked[:, None]  # (B, 1, T, T) broadcast over heads
-
+        q = mask.shape[1]
+        blocked = mask_attn_blocked(mask, self.vision_cfg.patch_size)
         toks = self.visual(
             self.preprocess(image), num_mask_tokens=q, blocked=blocked
         )
@@ -308,6 +293,32 @@ class CLIP(nn.Module):
 
     def clamped_logit_scale(self, max_scale: float = 100.0):
         return jnp.clip(jnp.exp(self.logit_scale), max=max_scale)
+
+
+def mask_attn_blocked(mask: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """MaskCLIP attention-mask construction (reference clip.py:272-310).
+
+    mask: (B, Q, S, S) mask logits at the tower's input size. Token layout
+    is [Q mask tokens, cls, S/p * S/p patches]. Returns (B, 1, T, T) bool,
+    True = may-not-attend (broadcast over heads): nobody attends to mask
+    tokens; mask token q attends only cls + its own >=0.5-pooled patches.
+    """
+    b, q = mask.shape[0], mask.shape[1]
+    p = patch_size
+    g = mask.shape[2] // p
+    m = jax.nn.sigmoid(mask)
+    # max-pool to the patch grid (reference F.max_pool2d k=s=patch)
+    patch = m.reshape(b, q, g, p, g, p).max(axis=(3, 5))
+    blocked_patches = (patch < 0.5).reshape(b, q, g * g)
+
+    n_img = g * g
+    t = q + 1 + n_img
+    blocked = jnp.zeros((b, t, t), dtype=bool)
+    # nothing may attend to the mask tokens
+    blocked = blocked.at[:, :, :q].set(True)
+    # mask tokens may only attend to their own patches (+ cls token)
+    blocked = blocked.at[:, :q, q + 1 :].set(blocked_patches)
+    return blocked[:, None]  # (B, 1, T, T)
 
 
 def build_clip(name: str, dtype=jnp.float32) -> CLIP:

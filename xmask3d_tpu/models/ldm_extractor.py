@@ -144,7 +144,8 @@ class LdmExtractor(nn.Module):
                 noise = self.shared_noise
                 if noise.shape[1:3] != latent.shape[1:3]:
                     noise = jax.image.resize(
-                        noise, (1,) + latent.shape[1:3] + noise.shape[3:], "bicubic"
+                        noise, (1,) + latent.shape[1:3] + noise.shape[3:],
+                        "bicubic", antialias=False,  # ldm.py:531-536 F.interpolate
                     )
                 noise = jnp.broadcast_to(noise, latent.shape).astype(latent.dtype)
                 noisy = self.diffusion.q_sample(latent, tb, noise)
@@ -205,18 +206,31 @@ class LdmImplicitCaptionerExtractor(nn.Module):
                 "alpha_cond_time_embed", nn.initializers.zeros, (time_dim,)
             )
 
+    def condition(
+        self, prefix: jnp.ndarray, uncond: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        """Implicit-captioner conditioning (reference ldm.py:656-668):
+        cond_inputs = uncond + tanh(alpha_cond) * clip_project(prefix),
+        cond_emb = tanh(alpha_cond_time_embed) * time_embed_project(prefix).
+        `uncond` is the (1, T, W) embedded empty caption."""
+        prefix_embed = self.clip_project(prefix)
+        cond_inputs = (
+            uncond
+            + jnp.tanh(self.alpha_cond).astype(prefix_embed.dtype) * prefix_embed
+        )
+        cond_emb = None
+        if self.learnable_time_embed:
+            cond_emb = jnp.tanh(self.alpha_cond_time_embed).astype(
+                prefix.dtype
+            ) * self.time_embed_project(prefix)
+        return cond_inputs, cond_emb
+
     def __call__(
         self,
         image: jnp.ndarray,  # (B, H, W, 3) in [0, 1]
         prefix: jnp.ndarray,  # (B, dim_latent) 3D global embedding
         uncond_tokens: jnp.ndarray,  # (1, T) tokenized ""
     ) -> List[jnp.ndarray]:
-        prefix_embed = self.clip_project(prefix)
         uncond = self.ldm_extractor.embed_text(uncond_tokens)  # (1, T, W)
-        cond_inputs = uncond + jnp.tanh(self.alpha_cond).astype(prefix_embed.dtype) * prefix_embed
-        cond_emb = None
-        if self.learnable_time_embed:
-            cond_emb = jnp.tanh(self.alpha_cond_time_embed).astype(
-                prefix.dtype
-            ) * self.time_embed_project(prefix)
+        cond_inputs, cond_emb = self.condition(prefix, uncond)
         return self.ldm_extractor(image, cond_inputs, cond_emb=cond_emb)

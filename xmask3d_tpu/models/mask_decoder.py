@@ -205,7 +205,14 @@ class ODISEMaskedTransformerDecoder(nn.Module):
 
         th, tw = target_hw
         b, q = outputs_mask.shape[:2]
-        am = jax.image.resize(outputs_mask, (b, q, th, tw), method="bilinear")
+        # antialias=False: torch F.interpolate(bilinear, align_corners=False)
+        # does NOT antialias on downsampling; jax.image.resize does by
+        # default, which shifts mask logits near the 0.5 gate and flips
+        # blocked-attention bits (caught by test_golden_round4's decoder
+        # golden vs reference odise.py:473-487)
+        am = jax.image.resize(
+            outputs_mask, (b, q, th, tw), method="bilinear", antialias=False
+        )
         blocked = (jax.nn.sigmoid(am.reshape(b, q, th * tw)) < 0.5)
         # un-block rows that would otherwise attend to nothing
         # (mask2former_transformer_decoder.py:395 / odise.py:395 trick)

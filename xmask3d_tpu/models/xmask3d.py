@@ -266,9 +266,16 @@ class XMask3D(nn.Module):
         """MaskCLIP open-vocabulary mask embeddings (criterion.py:232-236)."""
         s = self.clip.vision_cfg.image_size
         b = img01.shape[0]
-        img = jax.image.resize(img01, (b, s, s, img01.shape[-1]), "bilinear")
+        # antialias=False matches the reference F.interpolate(bilinear,
+        # align_corners=False) (clip.py:312-323); jax antialiases
+        # downsampling by default, which would shift every mask logit
+        img = jax.image.resize(
+            img01, (b, s, s, img01.shape[-1]), "bilinear", antialias=False
+        )
         q = pred_masks.shape[1]
-        masks = jax.image.resize(pred_masks, (b, q, s, s), "bilinear")
+        masks = jax.image.resize(
+            pred_masks, (b, q, s, s), "bilinear", antialias=False
+        )
         return self.clip.encode_image_with_mask(img, masks)
 
     def embed_captions(self, tokens):
@@ -363,7 +370,7 @@ class XMask3D(nn.Module):
         mh, mw = c.mask_shape
         b, q = outputs["pred_masks"].shape[:2]
         masks_mshape = jax.image.resize(
-            outputs["pred_masks"], (b, q, mh, mw), "bilinear"
+            outputs["pred_masks"], (b, q, mh, mw), "bilinear", antialias=False
         )
 
         # panoptic-style per-scene filtering (criterion.py:260-328); in train
@@ -467,7 +474,7 @@ class XMask3D(nn.Module):
         mh, mw = c.mask_shape
         b, q = outputs["pred_masks"].shape[:2]
         masks_mshape = jax.image.resize(
-            outputs["pred_masks"], (b, q, mh, mw), "bilinear"
+            outputs["pred_masks"], (b, q, mh, mw), "bilinear", antialias=False
         )
 
         pv = batch["point_valid"]
