@@ -25,6 +25,15 @@ import time
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["PALLAS_AXON_POOL_IPS"] = ""  # keep the TPU-relay plugin out
 
+# --mesh DxM needs D*M virtual devices BEFORE jax import (VERDICT r3 #7)
+for _i, _a in enumerate(sys.argv):
+    if _a == "--mesh" and _i + 1 < len(sys.argv):
+        _d, _m = (int(x) for x in sys.argv[_i + 1].split("x"))
+        _flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            f"{_flags} --xla_force_host_platform_device_count={_d * _m}"
+        )
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -124,10 +133,108 @@ def run_variant(cfg, caps, remat: bool, lower_only: bool):
     return out
 
 
+def _sharded_sds(tree, mesh, rule):
+    """ShapeDtypeStructs with NamedShardings attached, chosen per-leaf by
+    rule(path_keys, leaf_struct, mesh)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    leaves = []
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+        sh = rule(keys, leaf, mesh)
+        leaves.append(
+            jax.ShapeDtypeStruct(jnp.shape(leaf), jnp.result_type(leaf), sharding=sh)
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def run_sharded_variant(cfg, caps, remat: bool, data: int, model_axis: int,
+                        lower_only: bool):
+    """Compile the flagship train step under a (data x model) mesh with
+    parallel/mesh.py shardings; memory_analysis is then PER-DEVICE (the
+    SPMD program), proving (or refuting) the per-chip HBM fit under TP
+    (VERDICT r3 next-step #7)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from xmask3d_tpu.engine.train_step import make_train_step
+    from xmask3d_tpu.parallel.mesh import create_mesh, param_sharding_rules
+
+    mesh = create_mesh(data, model_axis)
+    (model, optimizer, state_s, batch_s, statics_s, n_params,
+     t_init_trace) = build_abstract_state_and_args(cfg, caps, remat)
+    if data > 1:
+        # one sample per data-shard: rebuild the batch at global batch=data
+        from xmask3d_tpu.data.synthetic import synthetic_batch
+
+        batch_s = sds_tree(synthetic_batch(
+            data, caps, seed=0, num_points=30000, image_size=(512, 512),
+            mask_shape=tuple(cfg.mask_shape),
+        ))
+    train_step = make_train_step(model, optimizer, dict(cfg.loss_weight))
+
+    def tp_rule(keys, leaf, mesh):
+        # opt-state leaves repeat the param path tail, so the same kernel-
+        # name heuristics apply (mu/nu trees end in .../<layer>/kernel)
+        return param_sharding_rules(keys, leaf, mesh)
+
+    def batch_rule(keys, leaf, mesh):
+        if jnp.ndim(leaf) >= 1:
+            return NamedSharding(mesh, P("data"))
+        return NamedSharding(mesh, P())
+
+    repl = lambda keys, leaf, mesh: NamedSharding(mesh, P())  # noqa: E731
+    state_sh = _sharded_sds(state_s, mesh, tp_rule)
+    batch_sh = _sharded_sds(batch_s, mesh, batch_rule)
+    statics_sh = _sharded_sds(statics_s, mesh, repl)
+    scale_sh = jax.ShapeDtypeStruct(
+        (), jnp.float32, sharding=NamedSharding(mesh, P())
+    )
+
+    out = {
+        "mesh": {"data": data, "model": model_axis},
+        "remat_backbone": remat,
+        "n_params": n_params,
+        "init_trace_s": round(t_init_trace, 1),
+    }
+    t0 = time.time()
+    with mesh:
+        lowered = jax.jit(train_step, donate_argnums=(0,)).lower(
+            state_sh, batch_sh, statics_sh, scale_sh
+        )
+    out["lower_s"] = round(time.time() - t0, 1)
+    print(f"[mesh {data}x{model_axis} remat={remat}] lowered in "
+          f"{out['lower_s']}s", flush=True)
+    if lower_only:
+        return out
+    t0 = time.time()
+    compiled = lowered.compile()
+    out["compile_s"] = round(time.time() - t0, 1)
+    mem = compiled.memory_analysis()
+    for k in (
+        "temp_size_in_bytes", "argument_size_in_bytes", "output_size_in_bytes",
+        "alias_size_in_bytes",
+    ):
+        v = getattr(mem, k, None)
+        if v is not None:
+            out[k] = int(v)
+    if "temp_size_in_bytes" in out:
+        out["per_device_peak_estimate_gib"] = round(
+            (out.get("argument_size_in_bytes", 0) + out["temp_size_in_bytes"]
+             - out.get("alias_size_in_bytes", 0)) / 2**30, 2,
+        )
+    print(f"[mesh {data}x{model_axis} remat={remat}] compiled in "
+          f"{out['compile_s']}s: "
+          f"{ {k: v for k, v in out.items() if 'bytes' in k or 'gib' in k} }",
+          flush=True)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--lower-only", action="store_true")
     p.add_argument("--remat", choices=["off", "on", "both"], default="both")
+    p.add_argument("--mesh", default=None,
+                   help="DATAxMODEL (e.g. 1x4): compile the sharded train "
+                        "step on a virtual CPU mesh instead of single-device")
     p.add_argument("--out", default="AOT_FLAGSHIP.json")
     args = p.parse_args(argv)
 
@@ -144,7 +251,13 @@ def main(argv=None):
     variants = {"off": [False], "on": [True], "both": [False, True]}[args.remat]
     results = []
     for remat in variants:
-        results.append(run_variant(cfg, caps, remat, args.lower_only))
+        if args.mesh:
+            d, m = (int(x) for x in args.mesh.split("x"))
+            results.append(
+                run_sharded_variant(cfg, caps, remat, d, m, args.lower_only)
+            )
+        else:
+            results.append(run_variant(cfg, caps, remat, args.lower_only))
 
     payload = {
         "config": "B15N4 flagship",
