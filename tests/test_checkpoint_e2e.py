@@ -282,3 +282,30 @@ def test_tiny_conversion_loads_and_runs(tiny_setup):
     )
     assert outputs["pred_logits"].shape[0] == 1
     assert np.isfinite(np.asarray(outputs["pred_logits"])).all()
+
+
+def test_converted_npz_roundtrip(tiny_setup, tmp_path):
+    """The scripts/convert_checkpoints.py npz format loads through
+    checkpoint/load_converted.apply_converted (the infer CLI --converted
+    path) with identical values."""
+    from xmask3d_tpu.checkpoint.load_converted import apply_converted
+
+    model, variables, _, _ = tiny_setup
+    flat = _flatten(variables["params"])
+    some = dict(list(flat.items())[:5])
+    bundle = {f"params/{k}": np.asarray(v) for k, v in some.items()}
+    bundle["batch_stats/pc_decoder/MinkUNet_0/bn0/mean"] = np.full(
+        np.asarray(
+            variables["batch_stats"]["pc_decoder"]["MinkUNet_0"]["bn0"]["mean"]
+        ).shape, 3.25, np.float32,
+    )
+    path = tmp_path / "conv.npz"
+    np.savez(path, **bundle)
+
+    target = jax.tree_util.tree_map(np.asarray, variables)
+    target, applied_p, applied_s = apply_converted(target, str(path))
+    assert len(applied_p) == 5 and len(applied_s) == 1
+    got = np.asarray(
+        target["batch_stats"]["pc_decoder"]["MinkUNet_0"]["bn0"]["mean"]
+    )
+    np.testing.assert_array_equal(got, 3.25)

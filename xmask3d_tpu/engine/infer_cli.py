@@ -43,6 +43,10 @@ def get_parser():
     p = argparse.ArgumentParser("xmask3d_tpu inference")
     p.add_argument("--config", required=True)
     p.add_argument("--ckpt", default="")
+    p.add_argument("--converted", default="",
+                   help="converted-weights npz from "
+                        "scripts/convert_checkpoints.py (the reference "
+                        "b15n4.pth.tar + sd-v1 + open_clip load path)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model variant (CPU smoke runs)")
@@ -173,6 +177,19 @@ def main(argv=None):
         batch0 = synthetic_batch(1, caps, seed=0, num_classes=cfg.classes, **kw)
         batch0 = jax.tree_util.tree_map(jnp.asarray, batch0)
         model, variables, statics = init_model(cfg, batch0, tiny=args.tiny)
+        if args.converted:
+            from xmask3d_tpu.checkpoint.load_converted import apply_converted
+
+            variables = jax.tree_util.tree_map(np.asarray, variables)
+            variables, applied_p, applied_s = apply_converted(
+                variables, args.converted
+            )
+            logger.info(
+                f"loaded {len(applied_p)} params + {len(applied_s)} "
+                f"batch_stats from {args.converted}"
+            )
+        if args.bf16_params:
+            variables = cast_params_bf16(variables)
         infer_step, route_2d = make_infer_step(model, cfg)
         preds = infer_step(variables, batch0, statics)
         p_cap = preds["pred"].shape[1]
@@ -226,6 +243,17 @@ def main(argv=None):
         state = create_train_state(model, variables, opt)
         state, _ = Checkpointer(args.ckpt).restore(state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.converted:
+        from xmask3d_tpu.checkpoint.load_converted import apply_converted
+
+        variables = jax.tree_util.tree_map(np.asarray, variables)
+        variables, applied_p, applied_s = apply_converted(
+            variables, args.converted
+        )
+        logger.info(
+            f"loaded {len(applied_p)} params + {len(applied_s)} batch_stats "
+            f"from {args.converted}"
+        )
     if args.bf16_params:
         variables = cast_params_bf16(variables)
         logger.info("bf16 weight storage ON (serving mode)")

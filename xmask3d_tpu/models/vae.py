@@ -21,8 +21,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xmask3d_tpu.models.layers import group_norm, upsample2x_nearest
+from xmask3d_tpu.models.layers import gn_groups, group_norm, upsample2x_nearest
 from xmask3d_tpu.ops.flash_attention import attention
+from xmask3d_tpu.ops.gn_conv import fused_available, gn_silu_conv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,18 +41,65 @@ class VAEConfig:
 VAE_TINY = VAEConfig(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=2)
 
 
+class _GNParams(nn.Module):
+    """Parameter container with flax GroupNorm's exact tree ({scale, bias})
+    so the fused GN->conv path keeps checkpoint compatibility."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (self.features,)),
+            self.param("bias", nn.initializers.zeros_init(), (self.features,)),
+        )
+
+
+class _Conv3Params(nn.Module):
+    """Parameter container with nn.Conv's exact tree ({kernel, bias})."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (3, 3, self.in_features, self.features),
+            ),
+            self.param("bias", nn.initializers.zeros_init(), (self.features,)),
+        )
+
+
 class ResnetBlock(nn.Module):
     out_ch: int
     dtype: Any = jnp.float32
 
+    def _gn_silu_conv(self, x, norm_name: str, conv_name: str):
+        """One GN -> SiLU -> conv3x3 stage, fused on TPU when supported
+        (ops/gn_conv.py: saves the HBM round-trip of the normalized
+        activation). Param trees are identical to the module path, so
+        init/apply may take different branches across processes and
+        checkpoints stay compatible."""
+        c = x.shape[-1]
+        if fused_available(x.shape, self.out_ch, self.dtype):
+            scale, bias = _GNParams(c, name=norm_name)()
+            kernel, cbias = _Conv3Params(self.out_ch, c, name=conv_name)()
+            return gn_silu_conv(
+                x.astype(self.dtype), scale, bias, kernel, cbias,
+                groups=gn_groups(c, 32),
+            )
+        h = group_norm(c, self.dtype, norm_name)(x)
+        h = nn.silu(h)
+        return nn.Conv(
+            self.out_ch, (3, 3), padding=1, dtype=self.dtype, name=conv_name
+        )(h)
+
     @nn.compact
     def __call__(self, x):
-        h = group_norm(x.shape[-1], self.dtype, "norm1")(x)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = group_norm(h.shape[-1], self.dtype, "norm2")(h)
-        h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = self._gn_silu_conv(x, "norm1", "conv1")
+        h = self._gn_silu_conv(h, "norm2", "conv2")
         if x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
