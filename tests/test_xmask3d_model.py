@@ -72,12 +72,15 @@ def test_train_forward_losses(tiny_setup):
     [
         "configs/scannet/xmask3d_scannet_B12N7.yaml",
         "configs/scannet/xmask3d_scannet_B10N9.yaml",
+        "configs/scannet/xmask3d_scannet_B150N50.yaml",
     ],
 )
 def test_other_benchmark_configs_end_to_end(config):
-    """B12N7 / B10N9 category splits through the tiny end-to-end forward:
-    different base/novel partitions change CategoryEmbed text-bank sizes,
-    target compaction, and the routed logit column counts."""
+    """B12N7 / B10N9 / ScanNet200-B150N50 category splits through the tiny
+    end-to-end forward: different base/novel partitions change CategoryEmbed
+    text-bank sizes, target compaction, and the routed logit column counts;
+    the 200-class config also exercises the meta-file vocabulary side-car
+    and 150/200-way heads."""
     cfg = load_config(config)
     cfg.max_points = TINY_CAPS.max_points
     cfg.max_voxels = TINY_CAPS.max_voxels
