@@ -45,6 +45,43 @@ def test_scene_scan_matches_per_view_dispatch():
     np.testing.assert_array_equal(np.asarray(vc[1]), np.asarray(vc2[1]))
     assert int(np.asarray(vc2[1]).max()) > 0  # votes actually accumulated
 
+    # --- real-scene id plumbing: stack_scene_views -> scan votes land on
+    # SCENE rows and equal per-view dispatch with the same ids ---
+    from xmask3d_tpu.data.synthetic import synthetic_scene
+
+    scene = synthetic_scene(
+        caps, seed=5, num_points=900, num_views=3, num_classes=cfg.classes,
+        image_size=(64, 64), mask_shape=(24, 32), context_length=16,
+        vocab_size=512,
+    )
+    stacked_s, idxseq_s, n_pts = serve.stack_scene_views(
+        scene, caps, num_base=cfg.classes
+    )
+    assert n_pts == 900
+    assert "vote_point_ids" in stacked_s
+    ids_np = np.asarray(stacked_s["vote_point_ids"])
+    assert ids_np.max() < n_pts
+    # every non-padding id is a visible scene point of its view
+    for v, view in enumerate(scene["views"]):
+        used = ids_np[v][ids_np[v] >= 0]
+        assert np.isin(used, np.where(view["visible"])[0]).all()
+
+    vs = serve.fresh_vote_state(n_pts, model.cfg.num_test_classes)
+    vs_scan = scene_scan(variables, stacked_s, idxseq_s, statics, *vs)
+    vs_ref = serve.fresh_vote_state(n_pts, model.cfg.num_test_classes)
+    for v in range(len(scene["views"])):
+        b = jax.tree_util.tree_map(lambda x: x[v], stacked_s)
+        vs_ref = infer_step(variables, b, statics, *vs_ref)
+    np.testing.assert_array_equal(np.asarray(vs_scan[0]), np.asarray(vs_ref[0]))
+    np.testing.assert_array_equal(np.asarray(vs_scan[1]), np.asarray(vs_ref[1]))
+    counts = np.asarray(vs_scan[1])
+    assert counts.sum() > 0
+    # votes only on points visible in >= 1 view
+    any_visible = np.zeros(n_pts, bool)
+    for view in scene["views"]:
+        any_visible |= view["visible"]
+    assert (counts[~any_visible] == 0).all()
+
 
 def test_resolve_vote_ids_identity_and_plumbed():
     pv = jnp.asarray([[True, True, False, True]])

@@ -141,3 +141,38 @@ def fresh_vote_state(max_points: int, num_classes: int):
         jnp.zeros((max_points, num_classes), jnp.int32),
         jnp.zeros((max_points,), jnp.int32),
     )
+
+
+def stack_scene_views(scene, caps, num_base: int):
+    """Collate a ScanNetSceneViews scene dict into the stacked pytree for
+    make_scene_scan_step, with per-view scene point ids plumbed.
+
+    View row r holds the r-th visible scene point (the layout
+    ScanNetSceneViews.scene produces), so `vote_point_ids[v, r]` is the
+    scene row that view v's row r votes for; rows that are capacity padding
+    or whose voxel overflowed (interior point_valid holes — use the MASK,
+    never a prefix count) stay -1 and are excluded by resolve_vote_ids.
+
+    Returns (stacked, idxseq, n_scene_points); size the vote table with
+    fresh_vote_state(n_scene_points, ...) — scene ids are NOT clamped to
+    the per-view capacity."""
+    import numpy as np
+
+    from xmask3d_tpu.data.batching import collate_views
+
+    batches = []
+    for view in scene["views"]:
+        b = collate_views([view["sample"]], caps, num_base=num_base)
+        pv = np.asarray(b["point_valid"][0])
+        sids = np.where(view["visible"])[0][: pv.shape[0]]
+        ids = np.full((1, pv.shape[0]), -1, np.int32)
+        rows = np.arange(len(sids))
+        keep = pv[: len(sids)].astype(bool)
+        ids[0, rows[keep]] = sids[keep]
+        b["vote_point_ids"] = ids
+        batches.append(b)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], 0), *batches
+    )
+    idxseq = jnp.arange(len(batches), dtype=jnp.int32)
+    return stacked, idxseq, len(scene["coords"])
