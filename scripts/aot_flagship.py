@@ -139,7 +139,10 @@ def _sharded_sds(tree, mesh, rule):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     leaves = []
     for path, leaf in flat:
-        keys = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+        keys = tuple(
+            getattr(p, "key", getattr(p, "name", getattr(p, "idx", None)))
+            for p in path
+        )
         sh = rule(keys, leaf, mesh)
         leaves.append(
             jax.ShapeDtypeStruct(jnp.shape(leaf), jnp.result_type(leaf), sharding=sh)

@@ -26,9 +26,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
 
 import jax
 import jax.numpy as jnp

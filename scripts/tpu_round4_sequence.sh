@@ -3,9 +3,10 @@
 # Ordered by value; each step is independently skippable on failure.
 # Usage: sh scripts/tpu_round4_sequence.sh [outdir]
 set -x
+cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/tpu_r4}
 mkdir -p "$OUT"
-cd "$(dirname "$0")/.."
+OUT=$(cd "$OUT" && pwd)
 
 # 0. health probe (fast fail if relay is down)
 timeout 180 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128),jnp.bfloat16); (x@x).block_until_ready(); print('PROBE_OK')" || exit 1

@@ -126,3 +126,34 @@ def test_cast_params_bf16_touches_only_fp32_params():
     assert out["batch_stats"]["mean"].dtype == jnp.float32
     # original untouched
     assert variables["params"]["w"].dtype == jnp.float32
+
+
+def test_view_scene_ids_uses_mask_not_prefix():
+    """ADVICE r3 / round-4 review: pv has INTERIOR holes (voxel overflow
+    clears rows in place, batching.py `pv &= ir < v`); selection must use
+    the mask, never a prefix count — and enforce scene validity if given."""
+    import numpy as np
+
+    from xmask3d_tpu.engine.infer import view_scene_ids
+
+    visible = np.zeros(10, bool)
+    visible[[1, 3, 4, 7, 9]] = True  # 5 visible scene points
+    pv = np.asarray([True, False, True, True, False])  # hole at rows 1, 4
+    rows, sids, keep = view_scene_ids(visible, pv)
+    np.testing.assert_array_equal(rows, [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(sids, [1, 3, 4, 7, 9])
+    np.testing.assert_array_equal(keep, pv)  # NOT a prefix of pv.sum()=3
+
+    # capacity cut: more visible points than rows
+    pv2 = np.asarray([True, True, True])
+    rows2, sids2, keep2 = view_scene_ids(visible, pv2)
+    np.testing.assert_array_equal(sids2, [1, 3, 4])
+
+    # scene validity: dropped scene points and out-of-range ids masked
+    scene_pv = np.asarray([True, True, True, False, True, True, True, True])
+    rows3, sids3, keep3 = view_scene_ids(visible, pv, scene_pv)
+    # row 1 -> scene 3 dropped; row 4 -> scene 9 out of range; row 1/4 also
+    # pv-invalid here, so flip pv to isolate the scene mask
+    pv_all = np.ones(5, bool)
+    _, _, keep4 = view_scene_ids(visible, pv_all, scene_pv)
+    np.testing.assert_array_equal(keep4, [True, False, True, True, False])

@@ -174,6 +174,27 @@ def kdtree_fill(
     return out
 
 
+def view_scene_ids(visible, pv, scene_pv=None):
+    """Map view rows to scene point ids under the static-capacity layout.
+
+    View row r holds the r-th visible scene point (the order
+    ScanNetSceneViews.scene / synthetic_scene produce). Returns
+    (rows, sids, keep): aligned arrays over min(#visible, P_cap) entries;
+    `keep` is the vote mask — the batch's point_valid at those rows
+    (interior voxel-overflow holes included; NEVER a prefix count, see
+    collate_views' `pv &= ir < v`) and, when `scene_pv` is given, the
+    scene batch's validity at the target scene point (dropped scene points
+    must not be voted — gathers clamp silently).
+    """
+    sids = np.where(visible)[0][: pv.shape[0]]
+    rows = np.arange(len(sids))
+    keep = np.asarray(pv[: len(sids)], bool).copy()
+    if scene_pv is not None:
+        keep &= sids < len(scene_pv)
+        keep &= scene_pv[np.clip(sids, 0, len(scene_pv) - 1)]
+    return rows, sids, keep
+
+
 def device_vote_add(votes, counter, point_ids, preds, valid):
     """On-device SceneVoter.add_view: one scatter-add per view.
 

@@ -32,6 +32,7 @@ from xmask3d_tpu.engine.infer import (
     evaluate_scene_predictions,
     fill_and_route_2d,
     nearest_covered_match,
+    view_scene_ids,
     summarize_iou,
 )
 from xmask3d_tpu.utils.logging import get_logger
@@ -134,13 +135,13 @@ def run_scene(
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         preds = infer_step(variables, batch, statics)
         pv = np.asarray(batch["point_valid"])[0]
-        n_valid = int(pv.sum())
-        point_ids = np.where(view["visible"])[0][:n_valid]
+        # view row r <-> r-th visible scene point; select by the actual
+        # pv MASK (interior voxel-overflow holes), never a prefix count
+        rows, sids, keep = view_scene_ids(view["visible"], pv)
 
         # host: nearest covered neighbor per uncovered point of this view
-        p_cap = pv.shape[0]
-        coords_p = np.zeros((p_cap, 3), np.float32)
-        coords_p[: len(point_ids)] = scene["coords"][point_ids]
+        coords_p = np.zeros((pv.shape[0], 3), np.float32)
+        coords_p[rows] = scene["coords"][sids]
         covered = np.asarray(preds["covered_2d"])[0]
         match = nearest_covered_match(coords_p, covered, pv)
         pred_2d = route_2d(
@@ -155,9 +156,7 @@ def run_scene(
             ("pred_2d", pred_2d),
             ("pred_3d", preds["pred_3d"]),
         ):
-            voters[key].add_view(
-                point_ids, np.asarray(arr)[0][: len(point_ids)]
-            )
+            voters[key].add_view(sids[keep], np.asarray(arr)[0][rows[keep]])
     return {k: v.finalize(scene["coords"]) for k, v in voters.items()}
 
 

@@ -114,18 +114,16 @@ def make_reuse_infer_step(model, cfg):
 
     @jax.jit
     def infer_step(variables, batch, statics, scene3d, view_point_ids):
-        # -1 (and any out-of-range id) is never voted by the caller; clip to
-        # a real row so the gather stays in range
-        ids = jnp.clip(view_point_ids, 0, scene3d["pred_3d"].shape[1] - 1)
-        precomp = {
-            "imp_condition": scene3d["imp_condition"],
-            "pred_3d": jnp.take_along_axis(
-                scene3d["pred_3d"], ids[..., None], axis=1
-            ),
-            "binary_scores": jnp.take_along_axis(
-                scene3d["binary_scores"], ids, axis=1
-            ),
-        }
+        # shared id/validity/gather semantics with the scanned serving path
+        # (-1 and out-of-range ids are never voted by the caller; the
+        # gathers clip to a real row)
+        from xmask3d_tpu.engine.serve import resolve_vote_ids
+
+        _, _, precomp = resolve_vote_ids(
+            {"point_valid": batch["point_valid"],
+             "vote_point_ids": view_point_ids},
+            scene3d,
+        )
         _, outputs = model.apply(
             variables, batch, statics, train=False, precomp_3d=precomp,
             rngs={"points": jax.random.PRNGKey(0)},
@@ -187,15 +185,10 @@ def run_scene_reuse(
         batch = collate_views([view["sample"]], caps, num_base=num_base)
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         pv = np.asarray(batch["point_valid"])[0]
-        # view row r corresponds to the r-th visible scene point; pv is NOT
-        # a prefix mask (collate_views clears interior rows whose voxel
-        # overflowed), so select rows by the actual mask, never [:pv.sum()]
-        view_sids = np.where(view["visible"])[0][: pv.shape[0]]
-        rows = np.arange(len(view_sids))
-        sids = view_sids
-        keep = pv[rows].copy()
-        keep &= sids < len(scene_pv)
-        keep &= scene_pv[np.clip(sids, 0, len(scene_pv) - 1)]
+        # shared row->scene-id mapping (mask-based, scene validity enforced)
+        from xmask3d_tpu.engine.infer import view_scene_ids
+
+        rows, sids, keep = view_scene_ids(view["visible"], pv, scene_pv)
         ids = np.full((1, pv.shape[0]), -1, np.int32)
         ids[0, rows[keep]] = sids[keep]
         preds = infer_step(variables, batch, statics, scene3d, jnp.asarray(ids))

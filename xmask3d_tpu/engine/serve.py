@@ -159,15 +159,14 @@ def stack_scene_views(scene, caps, num_base: int):
     import numpy as np
 
     from xmask3d_tpu.data.batching import collate_views
+    from xmask3d_tpu.engine.infer import view_scene_ids
 
     batches = []
     for view in scene["views"]:
         b = collate_views([view["sample"]], caps, num_base=num_base)
         pv = np.asarray(b["point_valid"][0])
-        sids = np.where(view["visible"])[0][: pv.shape[0]]
+        rows, sids, keep = view_scene_ids(view["visible"], pv)
         ids = np.full((1, pv.shape[0]), -1, np.int32)
-        rows = np.arange(len(sids))
-        keep = pv[: len(sids)].astype(bool)
         ids[0, rows[keep]] = sids[keep]
         b["vote_point_ids"] = ids
         batches.append(b)

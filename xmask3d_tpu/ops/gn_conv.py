@@ -19,8 +19,9 @@ unfused reference computation (rematerialized) — the same cost profile
 block-level remat would give.
 
 Shape gates (fall back to the unfused path otherwise): C and C_out
-multiples of 128, H divisible by the row tile, W a multiple of 128, VMEM
-estimate under budget.
+multiples of 128 (lane alignment for the sublane/lane reshape), W a
+multiple of the sublane granularity (16), H divisible by the row tile,
+VMEM estimate under budget.
 """
 
 from __future__ import annotations
@@ -227,6 +228,7 @@ def fused_available(x_shape, cout: int, dtype,
         + th * wd * cout * itemsize       # out block
         + th * wd * cout * 4              # fp32 accum
         + 9 * c * cout * itemsize         # weights
+        + 2 * 2 * wd * c * itemsize       # top/bottom 2-row halo blocks
     )
     return vmem <= 12 * 1024 * 1024
 
