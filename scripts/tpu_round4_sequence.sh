@@ -14,8 +14,9 @@ timeout 180 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128),jnp.bf
 # 1. headline bench (default: scan views + bf16 weights, per-view protocol)
 BENCH_CHILD=1 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_default.log"
 
-# 1b. fused GN->conv kernel delta (ops/gn_conv.py; round-4 addition)
-BENCH_CHILD=1 XMASK3D_FUSED_GN=0 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_nofusedgn.log"
+# 1b. fused GN->conv kernel delta (ops/gn_conv.py; round-4 addition,
+#     OPT-IN until this very step validates it on-chip)
+BENCH_CHILD=1 XMASK3D_FUSED_GN=1 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_fusedgn.log"
 
 # 2. protocol-ceiling qualification (VERDICT r3 #9)
 BENCH_CHILD=1 BENCH_SIZE=worst timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_worst.log"

@@ -213,7 +213,11 @@ def fused_available(x_shape, cout: int, dtype,
     """True iff the Pallas path will engage for this (B,H,W,C) shape."""
     if not _HAS_PALLAS or jax.default_backend() != "tpu":
         return False
-    if os.environ.get("XMASK3D_FUSED_GN", "1") != "1":
+    # OPT-IN until first validated on a real chip: a mosaic lowering
+    # failure inside the bench program would lose the round's headline
+    # measurement (the kernel is interpret-mode validated only; flip the
+    # default to "1" once scripts/tpu_round4_sequence.sh step 1b passes)
+    if os.environ.get("XMASK3D_FUSED_GN", "0") != "1":
         return False
     bsz, h, wd, c = x_shape
     th = tile_h or default_tile_h(h)
