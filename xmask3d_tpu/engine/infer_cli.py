@@ -203,7 +203,27 @@ def main(argv=None):
             f"synthetic inference ok: pred shape {preds['pred'].shape}, "
             f"pred_2d shape {pred_2d.shape}"
         )
-        return
+        if not args.num_scenes:
+            return
+        # --num_scenes N: the FULL whole-scene protocol (voting, KD-tree
+        # fill, hIoU meters) over synthetic multi-view scenes — the
+        # asset-free end-to-end drive of the evaluation loop
+        from xmask3d_tpu.data.synthetic import synthetic_scene
+
+        kw2 = dict(kw)
+        kw2.pop("num_points", None)
+        scenes = (
+            synthetic_scene(
+                caps, seed=100 + i, num_points=1200, num_views=3,
+                num_classes=cfg.test_classes, **kw2,
+            )
+            for i in range(args.num_scenes)
+        )
+        return run_eval_scenes(
+            scenes, args.num_scenes, cfg=cfg, caps=caps, variables=variables,
+            statics=statics, infer_step=infer_step, route_2d=route_2d,
+            num_base=cfg.classes,
+        )
 
     from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetSceneViews
     from xmask3d_tpu.data.tokenizer import build_tokenizer, require_real_tokenizer
@@ -271,22 +291,38 @@ def main(argv=None):
         logger.info("scene-reuse mode ON (one 3D pass per scene)")
     else:
         infer_step, route_2d = make_infer_step(model, cfg)
+    return run_eval_scenes(
+        (ds.scene(i) if i else scene0 for i in range(n)), n, cfg=cfg,
+        caps=caps, variables=variables, statics=statics,
+        infer_step=infer_step, route_2d=route_2d,
+        num_base=len(ds_cfg.base_category),
+        scene_reuse=args.scene_reuse, scene_3d_step=scene_3d_step,
+        scene_caps=scene_caps, save_ply=args.save_ply,
+    )
+
+
+def run_eval_scenes(scene_iter, n, *, cfg, caps, variables, statics,
+                    infer_step, route_2d, num_base, scene_reuse=False,
+                    scene_3d_step=None, scene_caps=None, save_ply=""):
+    """The full whole-scene evaluation protocol over an iterator of scene
+    dicts: per-view forward + ensemble + routing, multi-view voting, KD-tree
+    fill, and base/novel/hIoU meters for the three prediction streams
+    (reference run/infer.py:338-790)."""
     streams = ("pred", "pred_2d", "pred_3d")
     acc = {s: {"inter": 0, "union": 0, "target": 0} for s in streams}
     t0 = time.time()
-    for i in range(n):
-        scene = ds.scene(i) if i else scene0
-        if args.scene_reuse:
+    for scene in scene_iter:
+        if scene_reuse:
             pred = run_scene_reuse(
                 scene, scene_3d_step, infer_step, route_2d, variables,
-                statics, caps, scene_caps, len(ds_cfg.base_category),
+                statics, caps, scene_caps, num_base,
                 cfg.test_classes, voxel_size=cfg.voxel_size,
                 input_color=cfg.input_color,
             )
         else:
             pred = run_scene(
                 scene, infer_step, route_2d, variables, statics, caps,
-                len(ds_cfg.base_category), cfg.test_classes,
+                num_base, cfg.test_classes,
             )
         for s in streams:
             m = evaluate_scene_predictions(
@@ -297,15 +333,15 @@ def main(argv=None):
             )
             for k in acc[s]:
                 acc[s][k] = acc[s][k] + m[k]
-        if args.save_ply:
+        if save_ply:
             from xmask3d_tpu.utils.visualization import save_colored_point_cloud
 
             save_colored_point_cloud(
-                f"{args.save_ply}/{scene['name']}_pred.ply", scene["coords"],
+                f"{save_ply}/{scene['name']}_pred.ply", scene["coords"],
                 pred["pred"],
             )
             save_colored_point_cloud(
-                f"{args.save_ply}/{scene['name']}_gt.ply", scene["coords"],
+                f"{save_ply}/{scene['name']}_gt.ply", scene["coords"],
                 scene["labels"].astype(np.int64),
             )
         logger.info(f"scene {scene['name']} done ({len(scene['views'])} views)")
