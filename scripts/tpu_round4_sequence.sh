@@ -18,6 +18,11 @@ BENCH_CHILD=1 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_default.log"
 #     OPT-IN until this very step validates it on-chip)
 BENCH_CHILD=1 XMASK3D_FUSED_GN=1 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_fusedgn.log"
 
+# 1c. view batching: B views per dispatch amortize the small decoder/CLIP
+#     ops' MXU underutilization (same protocol; views are independent)
+BENCH_CHILD=1 BENCH_VIEW_BATCH=2 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_vb2.log"
+BENCH_CHILD=1 BENCH_VIEW_BATCH=4 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_vb4.log"
+
 # 2. protocol-ceiling qualification (VERDICT r3 #9)
 BENCH_CHILD=1 BENCH_SIZE=worst timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_worst.log"
 
