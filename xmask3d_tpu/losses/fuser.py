@@ -69,11 +69,17 @@ def paint_and_fuse(
     empty = jnp.sum(m, axis=(1, 2)) == 0
     m = m.at[:, 0, 0].set(jnp.where(empty, 1.0, m[:, 0, 0]))
 
+    # fp32 accumulation: summing up to Q mask embeddings in bf16 loses
+    # ~3 bits of the result; the MXU accumulates fp32 for free and the
+    # downstream ensemble math is fp32 anyway (engine/infer.py)
     painted = jnp.einsum(
-        "bqp,bqc->bpc", m, mask_embeds, preferred_element_type=pred_3d.dtype
+        "bqp,bqc->bpc", m, mask_embeds, preferred_element_type=jnp.float32
     )
-    counter = jnp.sum(m, axis=1)  # (B, P)
-    feat_2d = painted / jnp.maximum(counter[..., None], 1e-5)
+    counter = jnp.sum(m.astype(jnp.float32), axis=1)  # (B, P)
+    feat_2d = (painted / jnp.maximum(counter[..., None], 1e-5)).astype(
+        pred_3d.dtype
+    )
+    counter = counter.astype(pred_3d.dtype)
     covered = counter >= 1.0
     fused_all = fuser(feat_2d, pred_3d)
     fused = jnp.where(covered[..., None], fused_all, pred_3d)

@@ -94,9 +94,15 @@ def mask_pooling(x: jnp.ndarray, mask: jnp.ndarray, hard: bool = True) -> jnp.nd
     m = jax.nn.sigmoid(jax.lax.stop_gradient(mask))
     if hard:
         m = (m > 0.5).astype(x.dtype)
-    denom = m.sum(axis=(-1, -2), keepdims=False)[..., None] + 1e-8
-    pooled = jnp.einsum("bhwc,bqhw->bqc", x, m.astype(x.dtype))
-    return pooled / denom
+    # fp32 count: summing tens of thousands of bf16 mask values on the VPU
+    # rounds the denominator (bf16 integers above 256 are inexact); the
+    # einsum itself accumulates fp32 on the MXU regardless
+    denom = m.astype(jnp.float32).sum(axis=(-1, -2), keepdims=False)[..., None] + 1e-8
+    pooled = jnp.einsum(
+        "bhwc,bqhw->bqc", x, m.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return (pooled / denom).astype(x.dtype)
 
 
 class PooledMaskEmbed(nn.Module):
