@@ -121,6 +121,42 @@ def main():
     mdfn = jax.jit(lambda v, a, b_: md.apply(v, list(a), b_))
     bench_fn("mask decoder", mdfn, mv, tuple(ms), mask_feats)
 
+    # 6. mask->point gather, lane-gather vs transposed row-gather forms
+    # (losses/fuser.py project_masks_to_points; XMASK3D_POINT_GATHER)
+    import os
+
+    from xmask3d_tpu.losses.fuser import project_masks_to_points
+
+    pm = jax.random.normal(key, (1, 50, 240, 320), jnp.bfloat16)
+    xl = jax.random.randint(key, (1, 32768), 0, 240)
+    yl = jax.random.randint(key, (1, 32768), 0, 320)
+    for form in ("lane", "row"):
+        os.environ["XMASK3D_POINT_GATHER"] = form
+        gfn = jax.jit(lambda m, a, b_: project_masks_to_points(m, a, b_))
+        bench_fn(f"mask point gather ({form})", gfn, pm, xl, yl)
+    os.environ.pop("XMASK3D_POINT_GATHER", None)
+
+    # 7. fused GN->SiLU->conv vs unfused at the VAE's level-0 shape
+    from xmask3d_tpu.ops.gn_conv import (
+        _gn_silu_conv_fused,
+        gn_silu_conv_reference,
+    )
+
+    xg = jax.random.normal(key, (1, 512, 512, 128), jnp.bfloat16)
+    sc = jnp.ones((128,), jnp.float32)
+    bi = jnp.zeros((128,), jnp.float32)
+    wg = jax.random.normal(key, (3, 3, 128, 128), jnp.float32) * 0.05
+    bg = jnp.zeros((128,), jnp.float32)
+    bench_fn("GN+SiLU+conv3x3 unfused 512^2",
+             jax.jit(lambda *a: gn_silu_conv_reference(*a)), xg, sc, bi, wg, bg)
+    if jax.default_backend() == "tpu":
+        bench_fn(
+            "GN+SiLU+conv3x3 FUSED 512^2",
+            jax.jit(lambda x, s, b2, w, b3: _gn_silu_conv_fused(
+                x, s, b2, w, b3, 32, 1e-6, 16)),
+            xg, sc, bi, wg, bg,
+        )
+
 
 if __name__ == "__main__":
     main()

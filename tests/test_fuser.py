@@ -103,3 +103,23 @@ def test_masked_mean():
     m = jnp.asarray([[True, True, False, False]])
     out = np.asarray(masked_mean(x, m, axis=1))
     np.testing.assert_allclose(out[0], [1.5, 2.5, 3.5])
+
+
+def test_point_gather_forms_identical(monkeypatch):
+    """The transposed row-gather form of project_masks_to_points must equal
+    the lane-gather form exactly (XMASK3D_POINT_GATHER=row is a pure
+    layout change for TPU gather throughput)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from xmask3d_tpu.losses.fuser import project_masks_to_points
+
+    key = jax.random.PRNGKey(0)
+    masks = jax.random.normal(key, (2, 7, 24, 32))
+    xl = jax.random.randint(key, (2, 100), -2, 26)  # incl. out-of-range
+    yl = jax.random.randint(jax.random.PRNGKey(1), (2, 100), 0, 34)
+    a = np.asarray(project_masks_to_points(masks, xl, yl))
+    monkeypatch.setenv("XMASK3D_POINT_GATHER", "row")
+    b = np.asarray(project_masks_to_points(masks, xl, yl))
+    np.testing.assert_array_equal(a, b)

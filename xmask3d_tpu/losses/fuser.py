@@ -39,9 +39,20 @@ def project_masks_to_points(
     Equivalent of the reference's `mask[:, x_label, y_label]` fancy indexing
     (fuser.py:16, xmask3d.py:356).
     """
+    import os
+
     b, q, hm, wm = masks.shape
     flat = masks.reshape(b, q, hm * wm)
     idx = jnp.clip(x_label, 0, hm - 1) * wm + jnp.clip(y_label, 0, wm - 1)
+    if os.environ.get("XMASK3D_POINT_GATHER", "lane") == "row":
+        # transposed form: gather ROWS of (HW, Q) instead of lanes of
+        # (Q, HW) — the per-point index is shared across Q, so each gather
+        # reads a full Q-wide vector row; candidate for the TPU where
+        # minor-axis gathers serialize (measure via profile_components
+        # 'mask point gather'; numerics identical)
+        flat_t = flat.transpose(0, 2, 1)  # (B, HW, Q)
+        out = jnp.take_along_axis(flat_t, idx[:, :, None], axis=1)
+        return out.transpose(0, 2, 1)
     return jnp.take_along_axis(flat, idx[:, None, :], axis=2)
 
 
