@@ -157,3 +157,22 @@ def test_view_scene_ids_uses_mask_not_prefix():
     pv_all = np.ones(5, bool)
     _, _, keep4 = view_scene_ids(visible, pv_all, scene_pv)
     np.testing.assert_array_equal(keep4, [True, False, True, True, False])
+
+
+def test_all_reduce_acc_single_process_identity():
+    """Cross-process IoU meter reduction (reference dist.all_reduce,
+    run/infer.py:648-652): on one process, allgather+sum is the identity;
+    transport is int32-exact for integral histogram counts above 2^24."""
+    import numpy as np
+
+    from xmask3d_tpu.engine.infer_cli import all_reduce_acc
+
+    acc = {
+        "inter": np.asarray([17000000.0, 3.0, 0.0]),  # > 2^24: fp32 would round
+        "union": np.asarray([17000001.0, 5.0, 2.0]),
+        "target": np.asarray([1.0, 2.0, 3.0]),
+    }
+    out = all_reduce_acc(acc)
+    for k in acc:
+        np.testing.assert_array_equal(out[k], acc[k])
+        assert out[k].dtype == np.float64

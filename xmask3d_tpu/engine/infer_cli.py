@@ -291,23 +291,50 @@ def main(argv=None):
         logger.info("scene-reuse mode ON (one 3D pass per scene)")
     else:
         infer_step, route_2d = make_infer_step(model, cfg)
+    # distributed eval: shard scenes across processes like the reference's
+    # DistributedSampler infer (run/infer.py:170-187), metrics all-reduced
+    pid, nproc = jax.process_index(), jax.process_count()
+    my_ids = [i for i in range(n) if i % nproc == pid]
     return run_eval_scenes(
-        (ds.scene(i) if i else scene0 for i in range(n)), n, cfg=cfg,
-        caps=caps, variables=variables, statics=statics,
+        ((ds.scene(i) if i else scene0) for i in my_ids), len(my_ids),
+        cfg=cfg, caps=caps, variables=variables, statics=statics,
         infer_step=infer_step, route_2d=route_2d,
         num_base=len(ds_cfg.base_category),
         scene_reuse=args.scene_reuse, scene_3d_step=scene_3d_step,
         scene_caps=scene_caps, save_ply=args.save_ply,
+        all_reduce=nproc > 1,
     )
+
+
+def all_reduce_acc(acc_s):
+    """Sum one stream's IoU histogram accumulators across processes
+    (the reference's dist.all_reduce on the meters, run/infer.py:648-652).
+    Histogram counts are integers; int32 transport is exact where fp32
+    would round above 2^24 on whole-val-set runs."""
+    from jax.experimental import multihost_utils
+
+    out = {}
+    for k, v in acc_s.items():
+        v = np.asarray(v, np.int64)
+        assert (np.abs(v) < 2**31).all()
+        gathered = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray(v, jnp.int32)),
+            np.int64,
+        )
+        out[k] = gathered.sum(axis=0).astype(np.float64)
+    return out
 
 
 def run_eval_scenes(scene_iter, n, *, cfg, caps, variables, statics,
                     infer_step, route_2d, num_base, scene_reuse=False,
-                    scene_3d_step=None, scene_caps=None, save_ply=""):
+                    scene_3d_step=None, scene_caps=None, save_ply="",
+                    all_reduce=False):
     """The full whole-scene evaluation protocol over an iterator of scene
     dicts: per-view forward + ensemble + routing, multi-view voting, KD-tree
     fill, and base/novel/hIoU meters for the three prediction streams
-    (reference run/infer.py:338-790)."""
+    (reference run/infer.py:338-790). With all_reduce=True (multi-process
+    runs) the IoU accumulators are summed across hosts before summarizing —
+    the reference's dist.all_reduce on the meters."""
     streams = ("pred", "pred_2d", "pred_3d")
     acc = {s: {"inter": 0, "union": 0, "target": 0} for s in streams}
     t0 = time.time()
@@ -346,6 +373,8 @@ def run_eval_scenes(scene_iter, n, *, cfg, caps, variables, statics,
             )
         logger.info(f"scene {scene['name']} done ({len(scene['views'])} views)")
     dt = time.time() - t0
+    if all_reduce:
+        acc = {s: all_reduce_acc(acc[s]) for s in streams}
     summary = {}
     for s in streams:
         si = summarize_iou(
