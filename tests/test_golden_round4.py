@@ -507,3 +507,67 @@ def test_backbone_grouping_vs_reference():
     for name in ref._out_features:
         assert ours_shapes[name]["stride"] == ref._out_feature_strides[name]
         assert ours_shapes[name]["channels"] == 16
+
+
+# ---------------------------------------------------------------------------
+# cal_pred_logits + synonym ensemble (xmask3d.py:129-143, helper.py:71-97)
+# ---------------------------------------------------------------------------
+
+
+def test_cal_pred_logits_vs_reference():
+    helper = load_ref_module("models.modeling.meta_arch.helper")
+    ns = load_ref_classes(
+        "models/xmask3d.py", ["XMASK3d"],
+        {
+            "ensemble_logits_with_labels": helper.ensemble_logits_with_labels,
+            "PC_Processor": None, "PC_Binary_Processor": None,
+            "FeatureExtractorBackbone": None, "LdmImplicitCaptionerExtractor": None,
+            "MaskFormerHead": None, "MSDeformAttnPixelDecoder": None,
+            "ODISEMultiScaleMaskedTransformerDecoder": None,
+            "PseudoClassEmbed": None, "PooledMaskEmbed": None,
+            "CategoryEmbed": None, "Criterion": None, "HungarianMatcher": None,
+            "ImageList": None, "sem_seg_postprocess": None,
+        },
+    )
+    rng = np.random.RandomState(12)
+    b, q, c, l = 2, 6, 16, 5
+    mask_embed = rng.randn(b, q, c).astype(np.float32)
+    text_embed = rng.randn(l, c).astype(np.float32)
+    null_embed = rng.randn(1, c).astype(np.float32)
+    outputs = {
+        "mask_embed": torch.from_numpy(mask_embed),
+        "text_embed": torch.from_numpy(text_embed),
+        "null_embed": torch.from_numpy(null_embed),
+        "labels": [[f"l{i}"] for i in range(l)],  # singleton groups (configs)
+        "logit_scale": torch.tensor(50.0),
+    }
+    with torch.no_grad():
+        ref = ns["XMASK3d"].cal_pred_logits(None, outputs).numpy()
+
+    from xmask3d_tpu.models.xmask3d import cal_pred_logits
+
+    got = np.asarray(cal_pred_logits(
+        jnp.asarray(mask_embed), jnp.asarray(text_embed),
+        jnp.asarray(null_embed), jnp.asarray(50.0),
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ensemble_logits_with_labels_vs_reference():
+    """Multi-synonym groups (max and mean reduction) vs helper.py:71-97."""
+    helper = load_ref_module("models.modeling.meta_arch.helper")
+
+    from xmask3d_tpu.models.clip import ensemble_logits_with_labels
+
+    rng = np.random.RandomState(13)
+    groups = [["a"], ["b1", "b2", "b3"], ["c1", "c2"]]
+    sizes = [len(g) for g in groups]
+    logits = rng.randn(2, 4, sum(sizes)).astype(np.float32)
+    for method in ("max", "mean"):
+        ref = helper.ensemble_logits_with_labels(
+            torch.from_numpy(logits), groups, ensemble_method=method
+        ).numpy()
+        got = np.asarray(
+            ensemble_logits_with_labels(jnp.asarray(logits), sizes, method)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
