@@ -85,7 +85,25 @@ def install_detectron2_stubs() -> None:
             return x
 
     layers.Conv2d = Conv2d
-    layers.ShapeSpec = object
+
+    class ShapeSpec:
+        def __init__(self, channels=None, stride=None, height=None, width=None):
+            self.channels = channels
+            self.stride = stride
+            self.height = height
+            self.width = width
+
+    layers.ShapeSpec = ShapeSpec
+
+    def get_norm(norm, out_channels):
+        # detectron2.layers.get_norm subset: GN = GroupNorm(32, C)
+        if norm == "GN":
+            return nn.GroupNorm(32, out_channels)
+        if norm in ("", None):
+            return None
+        raise NotImplementedError(norm)
+
+    layers.get_norm = get_norm
 
     utils = types.ModuleType("detectron2.utils")
     utils.__path__ = []
@@ -161,6 +179,14 @@ def install_detectron2_stubs() -> None:
         get_uncertain_point_coords_with_randomness
     )
 
+    modeling = types.ModuleType("detectron2.modeling")
+    modeling.__path__ = []
+
+    class _Registry2(Registry):
+        pass
+
+    modeling.SEM_SEG_HEADS_REGISTRY = _Registry2("SEM_SEG_HEADS")
+
     fvcore = types.ModuleType("fvcore")
     fvcore.__path__ = []
     fv_nn = types.ModuleType("fvcore.nn")
@@ -172,6 +198,7 @@ def install_detectron2_stubs() -> None:
 
     for name, mod in [
         ("detectron2", d2),
+        ("detectron2.modeling", modeling),
         ("detectron2.config", config),
         ("detectron2.layers", layers),
         ("detectron2.utils", utils),

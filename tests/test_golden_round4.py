@@ -571,3 +571,91 @@ def test_ensemble_logits_with_labels_vs_reference():
             ensemble_logits_with_labels(jnp.asarray(logits), sizes, method)
         )
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Full MSDeformAttn pixel decoder (msdeformattn.py:176-358): 2 encoder
+# layers + FPN step, weights moved through the real converter section
+# ---------------------------------------------------------------------------
+
+
+def test_pixel_decoder_vs_reference():
+    import sys
+
+    from golden_utils import install_m2f_misc_stub
+
+    install_m2f_misc_stub()
+    px = load_ref_module(
+        "mask2former.modeling.pixel_decoder.msdeformattn"
+    )
+    ShapeSpec = sys.modules["detectron2.layers"].ShapeSpec
+
+    cdim, mdim, heads, ffn, layers = 32, 32, 4, 64, 2
+    torch.manual_seed(14)
+    input_shape = {
+        "s2": ShapeSpec(channels=48, stride=4),
+        "s3": ShapeSpec(channels=48, stride=8),
+        "s4": ShapeSpec(channels=48, stride=16),
+        "s5": ShapeSpec(channels=48, stride=32),
+    }
+    ref = px.MSDeformAttnPixelDecoder(
+        input_shape=input_shape,
+        transformer_dropout=0.0,
+        transformer_nheads=heads,
+        transformer_dim_feedforward=ffn,
+        transformer_enc_layers=layers,
+        conv_dim=cdim,
+        mask_dim=mdim,
+        norm="GN",
+        transformer_in_features=["s3", "s4", "s5"],
+        common_stride=4,
+    )
+    ref.eval()
+
+    rng = np.random.RandomState(15)
+    feats = {
+        name: rng.randn(1, 48, 64 // spec.stride * 4, 64 // spec.stride * 4)
+        .astype(np.float32)
+        for name, spec in input_shape.items()
+    }
+    with torch.no_grad():
+        mask_feat_ref, _, ms_ref = ref.forward_features(
+            {k: torch.from_numpy(v) for k, v in feats.items()}
+        )
+
+    from xmask3d_tpu.checkpoint.convert_xmask3d import convert_pixel_decoder
+
+    sd = {
+        f"sem_seg_head.pixel_decoder.{k}": v.detach().numpy()
+        for k, v in ref.state_dict().items()
+    }
+    conv = {}
+    convert_pixel_decoder(sd, conv, enc_layers=layers)
+    flat = _strip_prefix(conv, "pixel_decoder/")
+
+    from xmask3d_tpu.checkpoint.convert_torch import apply_flat_updates
+    from xmask3d_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+
+    ours = MSDeformAttnPixelDecoder(
+        conv_dim=cdim, mask_dim=mdim, heads=heads, points=4,
+        enc_layers=layers, ffn_dim=ffn,
+    )
+    feats_nhwc = {
+        k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in feats.items()
+    }
+    variables = ours.init(jax.random.PRNGKey(0), feats_nhwc)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    applied = apply_flat_updates(params, flat)
+    assert len(applied) == len(flat)
+    mask_feat, ms = ours.apply({"params": params}, feats_nhwc)
+
+    np.testing.assert_allclose(
+        np.asarray(mask_feat).transpose(0, 3, 1, 2), mask_feat_ref.numpy(),
+        rtol=2e-3, atol=2e-3,
+    )
+    assert len(ms) == len(ms_ref) == 3
+    for got, want in zip(ms, ms_ref):
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want.numpy(),
+            rtol=2e-3, atol=2e-3,
+        )

@@ -130,9 +130,28 @@ def convert_xmask3d_checkpoint(
     ]
     params[f"{ic}/alpha_cond_time_embed"] = sd[f"{fx}.alpha_cond_time_embed"]
 
-    # pixel decoder (msdeformattn.py:232-358)
-    pd_src = "sem_seg_head.pixel_decoder"
-    pd = "pixel_decoder"
+    convert_pixel_decoder(sd, params)
+
+    convert_mask_decoder(sd, params, dec_layers=dec_layers)
+
+    # category head + fuser
+    params["category_embed/null_embed"] = np.asarray(
+        sd["category_head.null_embed"]
+    ).reshape(1, -1)
+    _linear(sd, "criterion.fuser.linear", "fuser/linear", params)
+
+    return params, stats
+
+
+def convert_pixel_decoder(
+    sd,
+    params: Dict[str, np.ndarray],
+    enc_layers: int = 6,
+    pd_src: str = "sem_seg_head.pixel_decoder",
+    pd: str = "pixel_decoder",
+) -> None:
+    """Pixel-decoder section (msdeformattn.py:232-358) — factored out so
+    golden tests can convert a standalone reference decoder's state_dict."""
     for i in range(3):
         params[f"{pd}/input_proj_{i}/kernel"] = conv_w(
             sd[f"{pd_src}.input_proj.{i}.0.weight"]
@@ -141,7 +160,7 @@ def convert_xmask3d_checkpoint(
         params[f"{pd}/input_norm_{i}/scale"] = sd[f"{pd_src}.input_proj.{i}.1.weight"]
         params[f"{pd}/input_norm_{i}/bias"] = sd[f"{pd_src}.input_proj.{i}.1.bias"]
         params[f"{pd}/level_embed_{i}"] = np.asarray(sd[f"{pd_src}.transformer.level_embed"])[i]
-    for li in range(6):
+    for li in range(enc_layers):
         s = f"{pd_src}.transformer.encoder.layers.{li}"
         d = f"{pd}/encoder_layer_{li}"
         _linear(sd, f"{s}.self_attn.sampling_offsets", f"{d}/sampling_offsets", params)
@@ -161,16 +180,6 @@ def convert_xmask3d_checkpoint(
     params[f"{pd}/layer_norm_1/bias"] = sd[f"{pd_src}.layer_1.norm.bias"]
     params[f"{pd}/mask_features/kernel"] = conv_w(sd[f"{pd_src}.mask_features.weight"])
     params[f"{pd}/mask_features/bias"] = sd[f"{pd_src}.mask_features.bias"]
-
-    convert_mask_decoder(sd, params, dec_layers=dec_layers)
-
-    # category head + fuser
-    params["category_embed/null_embed"] = np.asarray(
-        sd["category_head.null_embed"]
-    ).reshape(1, -1)
-    _linear(sd, "criterion.fuser.linear", "fuser/linear", params)
-
-    return params, stats
 
 
 def convert_mask_decoder(
