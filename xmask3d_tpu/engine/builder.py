@@ -56,6 +56,20 @@ def model_config_from_cfg(cfg: Config, tiny: bool = False) -> XMask3DConfig:
     )
 
 
+def data_tokenizer(cfg: Config, tiny: bool = False):
+    """Caption tokenizer matching the model's text towers (vocab size and
+    context length come from the CLIP config the model will use — the tiny
+    towers run context 16 / vocab 512, so real-data loaders must tokenize
+    accordingly or the caption positional embeddings clash)."""
+    name = "ViT-tiny" if tiny else cfg.get("clip_name", "ViT-L-14")
+    text_cfg = CLIP_CONFIGS[name][0]
+    return build_tokenizer(
+        cfg.get("clip_bpe_vocab", ""),
+        vocab_size=text_cfg.vocab_size,
+        context_length=text_cfg.context_length,
+    )
+
+
 def capacities_from_cfg(cfg: Config) -> Capacities:
     return Capacities(
         max_points=cfg.get("max_points", 65536),

@@ -210,7 +210,10 @@ def main(argv=None):
         # asset-free end-to-end drive of the evaluation loop
         from xmask3d_tpu.data.synthetic import synthetic_scene
 
-        kw2 = dict(kw)
+        kw2 = dict(kw) if args.tiny else dict(
+            image_size=(512, 512), mask_shape=tuple(cfg.mask_shape),
+            context_length=77, vocab_size=49408,
+        )
         kw2.pop("num_points", None)
         scenes = (
             synthetic_scene(
@@ -226,7 +229,8 @@ def main(argv=None):
         )
 
     from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetSceneViews
-    from xmask3d_tpu.data.tokenizer import build_tokenizer, require_real_tokenizer
+    from xmask3d_tpu.data.tokenizer import require_real_tokenizer
+    from xmask3d_tpu.engine.builder import data_tokenizer
 
     ds_cfg = ScanNetConfig(
         data_root=cfg.data_root,
@@ -240,7 +244,7 @@ def main(argv=None):
         split="val",
         scannet200=cfg.scannet200,
     )
-    tok = build_tokenizer(cfg.get("clip_bpe_vocab", ""))
+    tok = data_tokenizer(cfg, tiny=args.tiny)
     require_real_tokenizer(tok, args.allow_hash_tokenizer)
     ds = ScanNetSceneViews(ds_cfg, caps, tok)
 
@@ -250,7 +254,8 @@ def main(argv=None):
         [scene0["views"][0]["sample"]], caps, num_base=len(ds_cfg.base_category)
     )
     batch0 = jax.tree_util.tree_map(jnp.asarray, batch0)
-    model, variables, statics = init_model(cfg, batch0)
+    # --tiny also applies to real data (CPU smoke runs over fixture scenes)
+    model, variables, statics = init_model(cfg, batch0, tiny=args.tiny)
     if args.ckpt:
         from xmask3d_tpu.checkpoint.orbax_io import Checkpointer
         from xmask3d_tpu.engine.train_step import (
@@ -291,6 +296,7 @@ def main(argv=None):
         logger.info("scene-reuse mode ON (one 3D pass per scene)")
     else:
         infer_step, route_2d = make_infer_step(model, cfg)
+        scene_3d_step = scene_caps = None
     # distributed eval: shard scenes across processes like the reference's
     # DistributedSampler infer (run/infer.py:170-187), metrics all-reduced
     pid, nproc = jax.process_index(), jax.process_count()
@@ -336,10 +342,19 @@ def run_eval_scenes(scene_iter, n, *, cfg, caps, variables, statics,
     runs) the IoU accumulators are summed across hosts before summarizing —
     the reference's dist.all_reduce on the meters."""
     streams = ("pred", "pred_2d", "pred_3d")
-    acc = {s: {"inter": 0, "union": 0, "target": 0} for s in streams}
+    # per-class zero vectors, NOT scalar 0: a process with an empty scene
+    # shard must still contribute shape-(num_classes,) accumulators to the
+    # cross-process allgather
+    acc = {
+        s: {k: np.zeros(cfg.test_classes, np.float64)
+            for k in ("inter", "union", "target")}
+        for s in streams
+    }
     t0 = time.time()
     for scene in scene_iter:
         if scene_reuse:
+            from xmask3d_tpu.engine.scene_reuse import run_scene_reuse
+
             pred = run_scene_reuse(
                 scene, scene_3d_step, infer_step, route_2d, variables,
                 statics, caps, scene_caps, num_base,

@@ -95,7 +95,8 @@ def make_data_iter(
         return it(), None, None
 
     from xmask3d_tpu.data.scannet import ScanNetConfig, ScanNetViews
-    from xmask3d_tpu.data.tokenizer import build_tokenizer, require_real_tokenizer
+    from xmask3d_tpu.data.tokenizer import require_real_tokenizer
+    from xmask3d_tpu.engine.builder import data_tokenizer
 
     train = split == "train"
     ds_cfg = ScanNetConfig(
@@ -113,7 +114,7 @@ def make_data_iter(
         input_color=cfg.input_color,
         scannet200=cfg.scannet200,
     )
-    tok = build_tokenizer(cfg.get("clip_bpe_vocab", ""))
+    tok = data_tokenizer(cfg, tiny=tiny)
     require_real_tokenizer(tok, allow_hash_tokenizer)
     ds = ScanNetViews(ds_cfg, caps, tok, seed=cfg.manual_seed)
 

@@ -90,7 +90,7 @@ def paint_and_fuse(
     feat_2d = (painted / jnp.maximum(counter[..., None], 1e-5)).astype(
         pred_3d.dtype
     )
-    counter = counter.astype(pred_3d.dtype)
+    # counter stays fp32: >256 covering masks would round in bf16
     covered = counter >= 1.0
     fused_all = fuser(feat_2d, pred_3d)
     fused = jnp.where(covered[..., None], fused_all, pred_3d)
