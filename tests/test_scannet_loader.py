@@ -23,43 +23,9 @@ NOVEL = [5, 9, 12, 16]
 
 @pytest.fixture(scope="module")
 def mini_dataset(tmp_path_factory):
-    import imageio.v2 as imageio
-    import torch
+    from mini_scannet import build_mini_scannet
 
-    root = tmp_path_factory.mktemp("scannet")
-    d3 = root / "scannet_3d" / "train"
-    d3.mkdir(parents=True)
-    rng = np.random.RandomState(0)
-
-    # one scene: a 3m x 3m x 2m room-ish cloud in front of the camera
-    n = 4000
-    pts = np.zeros((n, 3))
-    pts[:, 0] = rng.uniform(-1.5, 1.5, n)
-    pts[:, 1] = rng.uniform(-1.0, 1.0, n)
-    pts[:, 2] = rng.uniform(1.0, 3.0, n)  # camera looks along +z
-    colors = rng.uniform(-1, 1, (n, 3))
-    labels = rng.randint(0, 19, n).astype(np.float64)
-    torch.save((pts, colors, labels), d3 / "scene0000_00_vh_clean_2.pth")
-    val = root / "scannet_3d" / "val"
-    val.mkdir()
-    torch.save((pts, colors, labels), val / "scene0000_00_vh_clean_2.pth")
-
-    d2 = root / "scannet_2d" / "scene0000_00"
-    for sub in ["color", "depth", "pose", "label"]:
-        (d2 / sub).mkdir(parents=True)
-    # identity pose: camera at origin looking along +z
-    np.savetxt(d2 / "pose" / "0.txt", np.eye(4))
-    img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
-    imageio.imwrite(d2 / "color" / "0.jpg", img)
-    # depth (mm) ~2m so points at z in [1,3] partially pass the vis check
-    depth = np.full((240, 320), 2000, np.uint16)
-    imageio.imwrite(d2 / "depth" / "0.png", depth)
-    lbl = rng.choice(LABEL_2D, size=(480, 640)).astype(np.uint8)
-    imageio.imwrite(d2 / "label" / "0.png", lbl)
-
-    cap = root / "caption.json"
-    cap.write_text(json.dumps({"scene0000_00": {"0": "a synthetic room"}}))
-    return root
+    return build_mini_scannet(tmp_path_factory.mktemp("scannet"), n_views=1)
 
 
 def _cfg(root, split="train"):
