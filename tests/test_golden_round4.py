@@ -585,6 +585,15 @@ def test_pixel_decoder_vs_reference():
     from golden_utils import install_m2f_misc_stub
 
     install_m2f_misc_stub()
+    # earlier goldens may have registered ops.functions as a BARE package
+    # (no __init__ body), so `from ..functions import MSDeformAttnFunction`
+    # inside ms_deform_attn.py would fail; pin the names explicitly
+    fns = load_ref_module(
+        "mask2former.modeling.pixel_decoder.ops.functions.ms_deform_attn_func"
+    )
+    pkg = sys.modules["mask2former.modeling.pixel_decoder.ops.functions"]
+    pkg.MSDeformAttnFunction = fns.MSDeformAttnFunction
+    pkg.ms_deform_attn_core_pytorch = fns.ms_deform_attn_core_pytorch
     px = load_ref_module(
         "mask2former.modeling.pixel_decoder.msdeformattn"
     )
