@@ -151,15 +151,22 @@ def _sharded_sds(tree, mesh, rule):
 
 
 def run_sharded_variant(cfg, caps, remat: bool, data: int, model_axis: int,
-                        lower_only: bool):
+                        lower_only: bool, act_shard: bool = False):
     """Compile the flagship train step under a (data x model) mesh with
     parallel/mesh.py shardings; memory_analysis is then PER-DEVICE (the
     SPMD program), proving (or refuting) the per-chip HBM fit under TP
-    (VERDICT r3 next-step #7)."""
+    (VERDICT r3 next-step #7). act_shard additionally constrains the SD
+    UNet/VAE block activations to shard spatially over `model`
+    (parallel/mesh.py:activation_sharding) — the lever for batch-1 temps,
+    which kernel-only TP leaves replicated."""
+    import contextlib
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from xmask3d_tpu.engine.train_step import make_train_step
-    from xmask3d_tpu.parallel.mesh import create_mesh, param_sharding_rules
+    from xmask3d_tpu.parallel.mesh import (
+        activation_sharding, create_mesh, param_sharding_rules,
+    )
 
     mesh = create_mesh(data, model_axis)
     (model, optimizer, state_s, batch_s, statics_s, n_params,
@@ -195,17 +202,21 @@ def run_sharded_variant(cfg, caps, remat: bool, data: int, model_axis: int,
     out = {
         "mesh": {"data": data, "model": model_axis},
         "remat_backbone": remat,
+        "act_shard": act_shard,
         "n_params": n_params,
         "init_trace_s": round(t_init_trace, 1),
     }
+    act_ctx = (
+        activation_sharding(mesh) if act_shard else contextlib.nullcontext()
+    )
     t0 = time.time()
-    with mesh:
+    with mesh, act_ctx:
         lowered = jax.jit(train_step, donate_argnums=(0,)).lower(
             state_sh, batch_sh, statics_sh, scale_sh
         )
     out["lower_s"] = round(time.time() - t0, 1)
-    print(f"[mesh {data}x{model_axis} remat={remat}] lowered in "
-          f"{out['lower_s']}s", flush=True)
+    print(f"[mesh {data}x{model_axis} remat={remat} act={act_shard}] "
+          f"lowered in {out['lower_s']}s", flush=True)
     if lower_only:
         return out
     t0 = time.time()
@@ -238,6 +249,9 @@ def main(argv=None):
     p.add_argument("--mesh", default=None,
                    help="DATAxMODEL (e.g. 1x4): compile the sharded train "
                         "step on a virtual CPU mesh instead of single-device")
+    p.add_argument("--act-shard", action="store_true",
+                   help="with --mesh: also shard SD UNet/VAE block "
+                        "activations spatially over the model axis")
     p.add_argument("--out", default="AOT_FLAGSHIP.json")
     args = p.parse_args(argv)
 
@@ -257,7 +271,8 @@ def main(argv=None):
         if args.mesh:
             d, m = (int(x) for x in args.mesh.split("x"))
             results.append(
-                run_sharded_variant(cfg, caps, remat, d, m, args.lower_only)
+                run_sharded_variant(cfg, caps, remat, d, m, args.lower_only,
+                                    act_shard=args.act_shard)
             )
         else:
             results.append(run_variant(cfg, caps, remat, args.lower_only))

@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from xmask3d_tpu.models.layers import group_norm, upsample2x_nearest
 from xmask3d_tpu.ops.flash_attention import attention
+from xmask3d_tpu.parallel.mesh import shard_spatial
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,11 +181,14 @@ class SDUNet(nn.Module):
         n_lv = len(cfg.ch_mult)
         taps: List[jnp.ndarray] = []
         hs: List[jnp.ndarray] = []
-        h = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(
-            x.astype(self.dtype)
+        h = shard_spatial(
+            nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(
+                x.astype(self.dtype)
+            )
         )
         hs.append(h)
-        # input blocks
+        # input blocks (shard_spatial: opt-in activation sharding for TP
+        # training fit — no-op unless parallel.mesh.activation_sharding is on)
         for lv, mult in enumerate(cfg.ch_mult):
             for i in range(cfg.num_res_blocks):
                 h = ResBlock(mc * mult, dtype=self.dtype, name=f"down_{lv}_res_{i}")(
@@ -194,12 +198,13 @@ class SDUNet(nn.Module):
                     h = SpatialT(
                         cfg.num_heads, dtype=self.dtype, name=f"down_{lv}_attn_{i}"
                     )(h, context)
+                h = shard_spatial(h)
                 hs.append(h)
             if lv != n_lv - 1:
-                h = nn.Conv(
+                h = shard_spatial(nn.Conv(
                     h.shape[-1], (3, 3), strides=(2, 2), padding=1,
                     dtype=self.dtype, name=f"down_{lv}_downsample",
-                )(h)
+                )(h))
                 hs.append(h)
 
         # middle
@@ -207,7 +212,9 @@ class SDUNet(nn.Module):
         h = SpatialT(cfg.num_heads, dtype=self.dtype, name="mid_attn")(
             h, context
         )
-        h = ResBlock(h.shape[-1], dtype=self.dtype, name="mid_res_1")(h, emb)
+        h = shard_spatial(
+            ResBlock(h.shape[-1], dtype=self.dtype, name="mid_res_1")(h, emb)
+        )
 
         # output blocks
         out_idx = 0
@@ -223,12 +230,13 @@ class SDUNet(nn.Module):
                     h = SpatialT(
                         cfg.num_heads, dtype=self.dtype, name=f"up_{lv}_attn_{i}"
                     )(h, context)
+                h = shard_spatial(h)
                 if lv != 0 and i == cfg.num_res_blocks:
                     h = upsample2x_nearest(h)
-                    h = nn.Conv(
+                    h = shard_spatial(nn.Conv(
                         h.shape[-1], (3, 3), padding=1, dtype=self.dtype,
                         name=f"up_{lv}_upsample",
-                    )(h)
+                    )(h))
                 out_idx += 1
 
         h = group_norm(h.shape[-1], self.dtype, "out_norm")(h)

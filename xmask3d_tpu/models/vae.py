@@ -24,6 +24,7 @@ from flax import linen as nn
 from xmask3d_tpu.models.layers import gn_groups, group_norm, upsample2x_nearest
 from xmask3d_tpu.ops.flash_attention import attention
 from xmask3d_tpu.ops.gn_conv import fused_available, gn_silu_conv
+from xmask3d_tpu.parallel.mesh import shard_spatial
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,21 +167,27 @@ class VAEEncoder(nn.Module):
         AB = nn.remat(AttnBlock) if self.remat else AttnBlock
         taps = []
         flat_idx = 0
-        h = nn.Conv(c.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        h = shard_spatial(
+            nn.Conv(c.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        )
+        # shard_spatial: opt-in activation sharding for TP training fit —
+        # no-op unless parallel.mesh.activation_sharding is enabled
         for i_level, mult in enumerate(c.ch_mult):
             for i_block in range(c.num_res_blocks):
                 if flat_idx in self.tap_indices:
                     taps.append(h)
-                h = RB(
+                h = shard_spatial(RB(
                     c.ch * mult, dtype=self.dtype,
                     name=f"down_{i_level}_block_{i_block}",
-                )(h)
+                )(h))
                 flat_idx += 1
             if i_level != len(c.ch_mult) - 1:
-                h = Downsample(dtype=self.dtype, name=f"down_{i_level}_downsample")(h)
+                h = shard_spatial(
+                    Downsample(dtype=self.dtype, name=f"down_{i_level}_downsample")(h)
+                )
         h = RB(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
         h = AB(dtype=self.dtype, name="mid_attn_1")(h)
-        h = RB(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
+        h = shard_spatial(RB(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h))
         h = group_norm(h.shape[-1], self.dtype, "norm_out")(h)
         h = h * jax.nn.sigmoid(h)  # swish, as written in the LDM encoder tail
         h = nn.Conv(
@@ -209,19 +216,21 @@ class VAEDecoder(nn.Module):
         h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         h = RB(block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AB(dtype=self.dtype, name="mid_attn_1")(h)
-        h = RB(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = shard_spatial(RB(block_in, dtype=self.dtype, name="mid_block_2")(h))
         flat_idx = 0
         for rev, i_level in enumerate(reversed(range(n_lv))):
             out_ch = c.ch * c.ch_mult[i_level]
             for i_block in range(c.num_res_blocks + 1):
                 if flat_idx in self.tap_indices:
                     taps.append(h)
-                h = RB(
+                h = shard_spatial(RB(
                     out_ch, dtype=self.dtype, name=f"up_{i_level}_block_{i_block}"
-                )(h)
+                )(h))
                 flat_idx += 1
             if i_level != 0:
-                h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
+                h = shard_spatial(
+                    Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
+                )
         h = group_norm(h.shape[-1], self.dtype, "norm_out")(h)
         h = h * jax.nn.sigmoid(h)
         h = nn.Conv(3, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)

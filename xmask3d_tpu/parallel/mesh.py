@@ -16,6 +16,7 @@ DistributedSampler.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Dict, Optional
 
 import jax
@@ -97,6 +98,53 @@ def shard_params(variables, mesh: Mesh):
         sh = param_sharding_rules(keys, value, mesh)
         leaves.append(jax.device_put(value, sh))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Activation (spatial) sharding — the v5e training-fit lever.
+#
+# Kernel-only TP leaves batch-1 activations replicated: the flagship B15N4
+# train step's 21.4 GiB of temps barely shrink under a 1x4 `model` mesh
+# (AOT_FLAGSHIP_TP.json), so it cannot fit 16 GiB v5e chips. Constraining the
+# spatial H dim of every SD UNet/VAE block activation to shard over `model`
+# makes XLA's SPMD partitioner split the convs spatially (it inserts the halo
+# exchanges for the 3x3 windows) and the attention over rows, dividing the
+# activation footprint by the axis size. Opt-in via the context manager:
+# model code calls shard_spatial() unconditionally; it is a no-op unless a
+# mesh has been installed here (and for dims the axis doesn't divide).
+#
+# Note: Pallas kernels are opaque to the SPMD partitioner (operands would be
+# all-gathered around them), so runs that enable this should also force the
+# XLA attention path (XMASK3D_FLASH_IMPL=xla); on CPU AOT lowerings the XLA
+# path is already the default.
+
+_ACT_SHARD: Dict[str, Any] = {"mesh": None, "axis": "model"}
+
+
+@contextlib.contextmanager
+def activation_sharding(mesh: Optional[Mesh], axis: str = "model"):
+    """Enable spatial activation sharding inside the block. Pass mesh=None
+    for a no-op (lets callers thread one flag through)."""
+    prev = dict(_ACT_SHARD)
+    _ACT_SHARD["mesh"], _ACT_SHARD["axis"] = mesh, axis
+    try:
+        yield
+    finally:
+        _ACT_SHARD.update(prev)
+
+
+def shard_spatial(x: jax.Array) -> jax.Array:
+    """Constrain dim 1 (H of NHWC / rows of a token grid) of an activation to
+    shard over the activation-sharding axis. No-op when disabled, when the
+    axis has size 1, or when the dim isn't divisible by the axis size."""
+    mesh, axis = _ACT_SHARD["mesh"], _ACT_SHARD["axis"]
+    if mesh is None or mesh.shape.get(axis, 1) == 1:
+        return x
+    n = mesh.shape[axis]
+    if x.ndim < 2 or x.shape[1] % n or x.shape[1] < n:
+        return x
+    spec = P(*([None, axis] + [None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def shard_batch_by_host(global_index: np.ndarray) -> np.ndarray:
