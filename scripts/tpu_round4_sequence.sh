@@ -14,9 +14,11 @@ timeout 180 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128),jnp.bf
 # 1. headline bench (default: scan views + bf16 weights, per-view protocol)
 BENCH_CHILD=1 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_default.log"
 
-# 1b. fused GN->conv kernel delta (ops/gn_conv.py; round-4 addition,
-#     OPT-IN until this very step validates it on-chip)
-BENCH_CHILD=1 XMASK3D_FUSED_GN=1 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_fusedgn.log"
+# 1b. fused GN->conv kernel: first the compile+numerics gate (standalone
+#     AND scan-wrapped Mosaic compiles — the scoped-vmem OOM only shows in
+#     loop context), then the bench delta
+PYTHONPATH=.:/root/.axon_site timeout 1800 python scripts/compile_gn_conv_tpu.py 2>&1 | tee "$OUT/gn_gate.log" \
+  && BENCH_CHILD=1 XMASK3D_FUSED_GN=1 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_fusedgn.log"
 
 # 1c. view batching: B views per dispatch amortize the small decoder/CLIP
 #     ops' MXU underutilization (same protocol; views are independent)
@@ -30,11 +32,11 @@ BENCH_CHILD=1 BENCH_SIZE=worst timeout 2400 python bench.py 2>&1 | tee "$OUT/ben
 BENCH_CHILD=1 BENCH_SCENE_REUSE=1 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench_reuse.log"
 
 # 4. e2e profile with the trunk/run_3d split (attribute the ~10ms glue)
-PYTHONPATH=. timeout 3600 python scripts/profile_e2e.py 2>&1 | tee "$OUT/profile_e2e.log"
+PYTHONPATH=.:/root/.axon_site timeout 3600 python scripts/profile_e2e.py 2>&1 | tee "$OUT/profile_e2e.log"
 
 # 5. TPU train step retest (VERDICT r3 #8 — crashes the relay worker as of
 #    2026-08-17; re-test each round, LAST because it may kill the worker)
-PYTHONPATH=. timeout 1800 python scripts/train_step_tpu.py 2>&1 | tee "$OUT/train_step.log"
+PYTHONPATH=.:/root/.axon_site timeout 1800 python scripts/train_step_tpu.py 2>&1 | tee "$OUT/train_step.log"
 
 # 6. device-hier re-execution crash retest (after the worker-crash test,
 #    since both can wedge the relay)

@@ -114,9 +114,7 @@ def _kernel(a_ref, s_ref, x_ref, top_ref, bot_ref, w_ref, b_ref, o_ref,
     def _bot_zero():
         xp_ref[th + 1 : th + 2] = zrow
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, wd, 1), 1)
-    first_col = (col != 0).astype(dtype)
-    last_col = (col != wd - 1).astype(dtype)
+    zcol = jnp.zeros((th, 1, cin), dtype)
 
     acc = jnp.zeros((th * wd, cout), jnp.float32)
     for dy in range(3):
@@ -124,12 +122,14 @@ def _kernel(a_ref, s_ref, x_ref, top_ref, bot_ref, w_ref, b_ref, o_ref,
         for dx in (-1, 0, 1):
             if dx == 0:
                 patch = rows
+            elif dx == 1:
+                # out[., j] needs in[., j+1]; SAME zero padding at the
+                # right edge. Static slice+concat instead of pltpu.roll:
+                # Mosaic's tpu.dynamic_rotate has no bf16 lowering
+                # ("Rotate with non-32-bit data", v5e, 2026-08-18).
+                patch = jnp.concatenate([rows[:, 1:, :], zcol], axis=1)
             else:
-                # out[., c] needs in[., c+dx]: roll left by dx (as a
-                # non-negative wd-dx right-roll), zero the wrapped edge
-                # column (SAME zero padding)
-                patch = pltpu.roll(rows, (-dx) % wd, 1)
-                patch = patch * (last_col if dx == 1 else first_col)
+                patch = jnp.concatenate([zcol, rows[:, : wd - 1, :]], axis=1)
             acc = acc + jnp.dot(
                 patch.reshape(th * wd, cin), w_ref[dy * 3 + (dx + 1)],
                 preferred_element_type=jnp.float32,
@@ -177,6 +177,13 @@ def _fused_forward(x, scale, bias, w, b, groups, eps, th, interpret=False):
         out_specs=pl.BlockSpec((1, th, wd, cout), lambda bi, i: (bi, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, h, wd, cout), dtype),
         scratch_shapes=[pltpu.VMEM((th + 2, wd, c), dtype)],
+        # Mosaic's default 16 MB scoped-vmem stack is too small for the
+        # 512^2x128 tile once patch/norm temporaries are counted (measured
+        # 19.18M inside the bench program, 2026-08-18); the physical VMEM
+        # is 128 MB so a 48 MB stack is comfortably safe
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(a, s, x, x, x, wk, b.reshape(1, cout))
 
@@ -233,8 +240,12 @@ def fused_available(x_shape, cout: int, dtype,
         + th * wd * cout * 4              # fp32 accum
         + 9 * c * cout * itemsize         # weights
         + 2 * 2 * wd * c * itemsize       # top/bottom 2-row halo blocks
+        + th * wd * c * 4                 # fp32 norm temp inside norm()
+        + 2 * th * wd * c * itemsize      # shifted-patch temporaries
     )
-    return vmem <= 12 * 1024 * 1024
+    # must stay under the kernel's scoped-vmem stack (vmem_limit_bytes in
+    # _fused_forward), with margin for Mosaic's own copies
+    return vmem <= 32 * 1024 * 1024
 
 
 def gn_silu_conv(x, scale, bias, w, b, groups: int = 32, eps: float = 1e-6,
