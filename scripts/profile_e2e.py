@@ -94,6 +94,37 @@ def main():
         )
         return jnp.sum(out["pred_masks"].astype(jnp.float32))
 
+    def trunk_full_fn(v, c):
+        # trunk_fn consumes only pred_masks, so XLA DCEs the binary
+        # MinkUNet head and the pred_3d reconstruct gathers (they feed
+        # nothing downstream of that sum) — this variant consumes all
+        # three trunk products, isolating "trunk minus DCE'd 3D outputs"
+        b = chain(batch, c)
+        out = model.apply(
+            v, b, statics, False,
+            method=lambda m, bb, ss, t: m._trunk(bb, ss, t),
+            rngs={"points": jax.random.PRNGKey(0)},
+        )
+        return (
+            jnp.sum(out["pred_masks"].astype(jnp.float32))
+            + jnp.sum(out["pred_3d"].astype(jnp.float32))
+            + jnp.sum(out["binary_scores"].astype(jnp.float32))
+        )
+
+    def eval_full_fn(v, c):
+        # eval_fn consumes only fused_pred_feature, which does NOT depend
+        # on the MaskCLIP embeddings — they get DCE'd there. This variant
+        # pays for everything the real infer step needs.
+        b = chain(batch, c)
+        _, outputs = model.apply(
+            v, b, statics, train=False, rngs={"points": jax.random.PRNGKey(0)}
+        )
+        return (
+            jnp.sum(outputs["fused_pred_feature"].astype(jnp.float32))
+            + jnp.sum(outputs["mask_embed_clip"].astype(jnp.float32))
+            + jnp.sum(outputs["pred_logits"].astype(jnp.float32))
+        )
+
     def run3d_fn(v, c):
         b = chain(batch, c)
         out = model.apply(
@@ -111,8 +142,12 @@ def main():
             args.reps, variables=variables)
     measure("trunk (backbone+decoders+3D)", trunk_fn, args.n_short,
             args.n_long, args.reps, variables=variables)
+    measure("trunk FULL (+binary head+gathers)", trunk_full_fn, args.n_short,
+            args.n_long, args.reps, variables=variables)
     measure("eval forward (fused feat)", eval_fn, args.n_short, args.n_long,
             args.reps, variables=variables)
+    measure("eval FULL (+MaskCLIP+logits)", eval_full_fn, args.n_short,
+            args.n_long, args.reps, variables=variables)
     measure("infer step (+ensemble/route)", infer_fn, args.n_short,
             args.n_long, args.reps, variables=variables)
 

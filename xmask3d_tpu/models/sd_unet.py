@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xmask3d_tpu.ops.int8_quant import QConv, QDense, int8_enabled, quant_dot
+
 from xmask3d_tpu.models.layers import group_norm, upsample2x_nearest
 from xmask3d_tpu.ops.flash_attention import attention
 from xmask3d_tpu.parallel.mesh import shard_spatial
@@ -62,15 +64,34 @@ class UNetResBlock(nn.Module):
     def __call__(self, x, emb):
         h = group_norm(x.shape[-1], self.dtype, "in_norm")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
-        e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        h = QConv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        e = QDense(self.out_ch, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
         h = group_norm(h.shape[-1], self.dtype, "out_norm")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="out_conv")(h)
+        h = QConv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="out_conv")(h)
         if x.shape[-1] != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
+            x = QConv(self.out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
         return x + h
+
+
+class _ProjKernel(nn.Module):
+    """Bias-free projection kernel with nn.Dense's exact param layout
+    (`<name>/kernel`, lecun_normal, fp32 storage) but returned as the raw
+    weight — lets CrossAttention concatenate Q/K/V kernels and run ONE
+    (T, c)@(c, 3c) matmul instead of three (T, c)@(c, c). One wide matmul
+    tiles the MXU better at the SD UNet's c=320 than three narrow ones;
+    per-output-element contraction is unchanged, so numerics are exact."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
 
 
 class CrossAttention(nn.Module):
@@ -82,9 +103,22 @@ class CrossAttention(nn.Module):
         ctx = x if context is None else context
         c = x.shape[-1]
         d = c // self.heads
-        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        cin = ctx.shape[-1]
+        wq = _ProjKernel(c, name="to_q")(c).astype(self.dtype)
+        wk = _ProjKernel(c, name="to_k")(cin).astype(self.dtype)
+        wv = _ProjKernel(c, name="to_v")(cin).astype(self.dtype)
+        quant = int8_enabled() and c >= 64
+
+        def mm(a, w):
+            return quant_dot(a, w, self.dtype) if quant else a @ w
+
+        if context is None:
+            qkv = mm(x, jnp.concatenate([wq, wk, wv], axis=1))
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = mm(x, wq)
+            kv = mm(ctx, jnp.concatenate([wk, wv], axis=1))
+            k, v = jnp.split(kv, 2, axis=-1)
 
         def split(z):
             return z.reshape(z.shape[0], z.shape[1], self.heads, d).transpose(0, 2, 1, 3)
@@ -94,7 +128,7 @@ class CrossAttention(nn.Module):
         # inputs); XLA fallback on CPU / unsupported shapes
         out = attention(q, k, v).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], c)
-        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return QDense(c, dtype=self.dtype, name="to_out")(out)
 
 
 class GEGLU(nn.Module):
@@ -103,7 +137,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(2 * self.out_dim, dtype=self.dtype, name="proj")(x)
+        h = QDense(2 * self.out_dim, dtype=self.dtype, name="proj")(x)
         a, b = jnp.split(h, 2, axis=-1)
         return a * jax.nn.gelu(b)
 
@@ -123,7 +157,7 @@ class BasicTransformerBlock(nn.Module):
         )
         y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         y = GEGLU(4 * c, dtype=self.dtype, name="ff_geglu")(y)
-        x = x + nn.Dense(c, dtype=self.dtype, name="ff_out")(y)
+        x = x + QDense(c, dtype=self.dtype, name="ff_out")(y)
         return x
 
 
@@ -135,13 +169,13 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         y = group_norm(x.shape[-1], self.dtype, "norm")(x)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = QConv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, c)
         y = BasicTransformerBlock(self.heads, dtype=self.dtype, name="block_0")(
             y, context
         )
         y = y.reshape(b, h, w, c)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        y = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
         return x + y
 
 
@@ -170,10 +204,10 @@ class SDUNet(nn.Module):
         ResBlock = nn.remat(UNetResBlock) if self.remat else UNetResBlock
         SpatialT = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
         temb = timestep_embedding(t, mc)
-        emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_0")(
+        emb = QDense(4 * mc, dtype=self.dtype, name="time_embed_0")(
             temb.astype(self.dtype)
         )
-        emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+        emb = QDense(4 * mc, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
         if cond_emb is not None:
             # implicit captioner offset on the time embedding (ldm.py:432-433)
             emb = emb + cond_emb.astype(self.dtype)
@@ -182,7 +216,7 @@ class SDUNet(nn.Module):
         taps: List[jnp.ndarray] = []
         hs: List[jnp.ndarray] = []
         h = shard_spatial(
-            nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(
+            QConv(mc, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(
                 x.astype(self.dtype)
             )
         )
@@ -201,7 +235,7 @@ class SDUNet(nn.Module):
                 h = shard_spatial(h)
                 hs.append(h)
             if lv != n_lv - 1:
-                h = shard_spatial(nn.Conv(
+                h = shard_spatial(QConv(
                     h.shape[-1], (3, 3), strides=(2, 2), padding=1,
                     dtype=self.dtype, name=f"down_{lv}_downsample",
                 )(h))
@@ -233,7 +267,7 @@ class SDUNet(nn.Module):
                 h = shard_spatial(h)
                 if lv != 0 and i == cfg.num_res_blocks:
                     h = upsample2x_nearest(h)
-                    h = shard_spatial(nn.Conv(
+                    h = shard_spatial(QConv(
                         h.shape[-1], (3, 3), padding=1, dtype=self.dtype,
                         name=f"up_{lv}_upsample",
                     )(h))
@@ -241,7 +275,7 @@ class SDUNet(nn.Module):
 
         h = group_norm(h.shape[-1], self.dtype, "out_norm")(h)
         h = nn.silu(h)
-        eps = nn.Conv(
+        eps = QConv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="out_conv"
         )(h)
         return eps, taps

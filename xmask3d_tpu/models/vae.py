@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xmask3d_tpu.ops.int8_quant import QConv, QDense
+
 from xmask3d_tpu.models.layers import gn_groups, group_norm, upsample2x_nearest
 from xmask3d_tpu.ops.flash_attention import attention
 from xmask3d_tpu.ops.gn_conv import fused_available, gn_silu_conv
@@ -93,7 +95,7 @@ class ResnetBlock(nn.Module):
             )
         h = group_norm(c, self.dtype, norm_name)(x)
         h = nn.silu(h)
-        return nn.Conv(
+        return QConv(
             self.out_ch, (3, 3), padding=1, dtype=self.dtype, name=conv_name
         )(h)
 
@@ -102,7 +104,7 @@ class ResnetBlock(nn.Module):
         h = self._gn_silu_conv(x, "norm1", "conv1")
         h = self._gn_silu_conv(h, "norm2", "conv2")
         if x.shape[-1] != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+            x = QConv(self.out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
 
 
@@ -115,13 +117,13 @@ class AttnBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         y = group_norm(x.shape[-1], self.dtype, "norm")(x)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, 1, h * w, c)
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, 1, h * w, c)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, 1, h * w, c)
+        q = QConv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, 1, h * w, c)
+        k = QConv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, 1, h * w, c)
+        v = QConv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, 1, h * w, c)
         # flash path on TPU: at 64^2 latents the XLA formulation materializes
         # a (4096, 4096) fp32 score matrix (67 MB of HBM round-trips)
         out = attention(q, k, v).reshape(b, h, w, c)
-        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        out = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
 
 
@@ -132,7 +134,7 @@ class Downsample(nn.Module):
     def __call__(self, x):
         # SD VAE uses asymmetric (0,1) padding for the strided conv
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(
+        return QConv(
             x.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
             dtype=self.dtype, name="conv",
         )(x)
@@ -145,7 +147,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = upsample2x_nearest(x)
-        return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return QConv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
 class VAEEncoder(nn.Module):
@@ -168,7 +170,7 @@ class VAEEncoder(nn.Module):
         taps = []
         flat_idx = 0
         h = shard_spatial(
-            nn.Conv(c.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+            QConv(c.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         )
         # shard_spatial: opt-in activation sharding for TP training fit —
         # no-op unless parallel.mesh.activation_sharding is enabled
@@ -190,7 +192,7 @@ class VAEEncoder(nn.Module):
         h = shard_spatial(RB(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h))
         h = group_norm(h.shape[-1], self.dtype, "norm_out")(h)
         h = h * jax.nn.sigmoid(h)  # swish, as written in the LDM encoder tail
-        h = nn.Conv(
+        h = QConv(
             2 * c.z_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)
         return h, taps
@@ -213,7 +215,7 @@ class VAEDecoder(nn.Module):
         taps = []
         n_lv = len(c.ch_mult)
         block_in = c.ch * c.ch_mult[-1]
-        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = QConv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         h = RB(block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AB(dtype=self.dtype, name="mid_attn_1")(h)
         h = shard_spatial(RB(block_in, dtype=self.dtype, name="mid_block_2")(h))
@@ -233,7 +235,7 @@ class VAEDecoder(nn.Module):
                 )
         h = group_norm(h.shape[-1], self.dtype, "norm_out")(h)
         h = h * jax.nn.sigmoid(h)
-        h = nn.Conv(3, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        h = QConv(3, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         return h, taps
 
 
@@ -255,8 +257,8 @@ class AutoencoderKL(nn.Module):
         self.decoder = VAEDecoder(
             self.cfg, self.decoder_taps, dtype=self.dtype, remat=self.remat
         )
-        self.quant_conv = nn.Dense(2 * self.cfg.embed_dim, dtype=self.dtype)
-        self.post_quant_conv = nn.Dense(self.cfg.z_channels, dtype=self.dtype)
+        self.quant_conv = QDense(2 * self.cfg.embed_dim, dtype=self.dtype)
+        self.post_quant_conv = QDense(self.cfg.z_channels, dtype=self.dtype)
 
     def __call__(self, x):  # init convenience
         z, enc_taps = self.encode(x)

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
-                      scale: float):
+                      scale: float, dg_scores: bool = True):
     q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
     block_q, d = q.shape
 
@@ -34,7 +34,16 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        if dg_scores:
+            # contract the head dim of BOTH operands directly — avoids
+            # materializing k.T per KV block (Mosaic lowers the transpose
+            # as a real relayout at small d)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, bk)
+        else:
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new[:, None])
@@ -63,6 +72,7 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    dg_scores: bool = True,
 ) -> jnp.ndarray:
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -71,6 +81,11 @@ def flash_attention(
         # the full (tk, d) K/V in VMEM (~8.4 MB at tk=4096 bf16), so shrink
         # the query block to keep scratch under the ~16 MB VMEM budget
         block_q = min(block_q, 256)
+    elif d <= 64 and block_q == 512 and block_k == 512:
+        # narrow heads (SD UNet d=40): (1024,1024) measured 0.54 vs
+        # 0.61 ms for (512,512) on the 4096-token self-attn (v5e, round 4,
+        # scripts/profile_attn_variants.py); (2048,2048) OOMs scoped VMEM
+        block_q = block_k = 1024
     block_q = min(block_q, tq)
     block_k = min(block_k, tk)
     if tq % block_q or tk % block_k:
@@ -86,7 +101,8 @@ def flash_attention(
     grid = (bh, tq // block_q)
     out = pl.pallas_call(
         functools.partial(
-            _flash_fwd_kernel, kv_len=tk, block_k=block_k, scale=scale
+            _flash_fwd_kernel, kv_len=tk, block_k=block_k, scale=scale,
+            dg_scores=dg_scores,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
         grid=grid,
