@@ -31,6 +31,8 @@ def main():
     p.add_argument("--n-short", type=int, default=1)
     p.add_argument("--n-long", type=int, default=3)
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--only", type=str, default="",
+                   help="run only sections whose label contains this substring")
     args = p.parse_args()
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
@@ -138,18 +140,44 @@ def main():
             if hasattr(x, "dtype")
         )
 
-    measure("3D branch (run_3d)", run3d_fn, args.n_short, args.n_long,
-            args.reps, variables=variables)
-    measure("trunk (backbone+decoders+3D)", trunk_fn, args.n_short,
-            args.n_long, args.reps, variables=variables)
-    measure("trunk FULL (+binary head+gathers)", trunk_full_fn, args.n_short,
-            args.n_long, args.reps, variables=variables)
-    measure("eval forward (fused feat)", eval_fn, args.n_short, args.n_long,
-            args.reps, variables=variables)
-    measure("eval FULL (+MaskCLIP+logits)", eval_full_fn, args.n_short,
-            args.n_long, args.reps, variables=variables)
-    measure("infer step (+ensemble/route)", infer_fn, args.n_short,
-            args.n_long, args.reps, variables=variables)
+    def _run3d_partial(v, c, keys):
+        # decompose run_3d by DCE: consuming only imp_condition keeps just
+        # the main MinkUNet (the per-point pred_3d gather and the whole
+        # binary UNet feed nothing); adding pred_3d adds the 32768x768
+        # reconstruct gather; adding binary_scores adds the binary UNet
+        b = chain(batch, c)
+        out = model.apply(
+            v, b, statics, False,
+            method=lambda m, bb, ss, t: m.run_3d(bb, train=t),
+            rngs={"points": jax.random.PRNGKey(0)},
+        )
+        return sum(jnp.sum(out[k]).astype(jnp.float32) for k in keys)
+
+    def run3d_main_fn(v, c):
+        return _run3d_partial(v, c, ("imp_condition",))
+
+    def run3d_nogather_fn(v, c):
+        return _run3d_partial(v, c, ("imp_condition", "binary_scores"))
+
+    def run3d_nobinary_fn(v, c):
+        return _run3d_partial(v, c, ("imp_condition", "pred_3d"))
+
+    sections = [
+        ("3D branch (run_3d)", run3d_fn),
+        ("run_3d main UNet only", run3d_main_fn),
+        ("run_3d main+binary (no pred_3d gather)", run3d_nogather_fn),
+        ("run_3d main+gather (no binary)", run3d_nobinary_fn),
+        ("trunk (backbone+decoders+3D)", trunk_fn),
+        ("trunk FULL (+binary head+gathers)", trunk_full_fn),
+        ("eval forward (fused feat)", eval_fn),
+        ("eval FULL (+MaskCLIP+logits)", eval_full_fn),
+        ("infer step (+ensemble/route)", infer_fn),
+    ]
+    for label, fn in sections:
+        if args.only and args.only not in label:
+            continue
+        measure(label, fn, args.n_short, args.n_long, args.reps,
+                variables=variables)
 
 
 if __name__ == "__main__":

@@ -79,13 +79,29 @@ def main():
     loss = float(metrics["loss_total"])
     print(f"step 0 (compile+run {time.time() - t0:.1f}s): loss={loss:.4f}", flush=True)
 
-    for i in range(1, args.steps):
-        t0 = time.time()
-        state, metrics = train_step(state, batch, statics, jnp.asarray(1.0))
-        loss = float(metrics["loss_total"])
-        print(f"step {i}: {time.time() - t0:.3f}s loss={loss:.4f}", flush=True)
-        assert loss == loss, "NaN loss"
+    # the relay-backed dev worker has crashed mid-run before (round 4: steps
+    # 0-1 OK, crash at step 2) — keep the evidence of how far we got instead
+    # of dying with a bare traceback; the backend is unrecoverable in-process
+    # after a worker crash, so a partial run exits rc=2 for the caller to
+    # retry in a fresh process
+    done, times = 1, []
+    try:
+        for i in range(1, args.steps):
+            t0 = time.time()
+            state, metrics = train_step(state, batch, statics, jnp.asarray(1.0))
+            loss = float(metrics["loss_total"])
+            times.append(time.time() - t0)
+            print(f"step {i}: {times[-1]:.3f}s loss={loss:.4f}", flush=True)
+            assert loss == loss, "NaN loss"
+            done = i + 1
+    except Exception as e:  # jax.errors.JaxRuntimeError on worker crash
+        print(f"WORKER CRASH after {done}/{args.steps} steps: {e}", flush=True)
+        if times:
+            print(f"steady-state step time: {min(times):.3f}s", flush=True)
+        raise SystemExit(2)
 
+    if times:
+        print(f"steady-state step time: {min(times):.3f}s", flush=True)
     print("train steps OK", flush=True)
 
 
