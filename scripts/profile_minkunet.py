@@ -52,7 +52,15 @@ def main():
     if occ:
         print("level occupancy:", occ, flush=True)
 
-    for arch, out_ch in (("MinkUNet34C", 256), ("MinkUNet14A", 2)):
+    for arch, out_ch in (
+        ("MinkUNet34C", 256),
+        ("MinkUNet14A", 2),
+        # the REAL binary-head body: PCBinaryProcessor runs 14A with
+        # out_channels=last_dim=256 (xmask3d.py:148-161) — the out_ch=2
+        # row above under-measures it (round-4 in-context decomposition
+        # found the binary branch at ~9.2 ms vs this profiler's 4.75)
+        ("MinkUNet14A", 256),
+    ):
         mu = mink_unet(out_channels=out_ch, arch=arch, dtype=jnp.bfloat16)
         mv = jax.jit(lambda k, f, hh, mu=mu: mu.init(k, f, hh, False))(
             key, feats, h
@@ -62,8 +70,22 @@ def main():
             bottleneck, out = mu.apply(v, feats + c * 1e-12, h, False)
             return (jnp.sum(out) + jnp.sum(bottleneck)).astype(jnp.float32)
 
-        measure(f"{arch} in-net ({args.points} pts)", fn, args.n_short,
-                args.n_long, args.reps, variables=mv)
+        measure(f"{arch} out{out_ch} in-net ({args.points} pts)", fn,
+                args.n_short, args.n_long, args.reps, variables=mv)
+
+    # the full PCBinaryProcessor (14A out256 + MaskedBN + relu + fc(1)),
+    # exactly as run_3d invokes it
+    from xmask3d_tpu.models.xmask3d import PCBinaryProcessor
+
+    pb = PCBinaryProcessor(arch="MinkUNet14A", dtype=jnp.bfloat16)
+    pv = jax.jit(lambda k, f: pb.init(k, f, h, False))(key, feats)
+
+    def pb_fn(v, c):
+        out = pb.apply(v, feats + c * 1e-12, h, False)
+        return jnp.sum(out).astype(jnp.float32)
+
+    measure("PCBinaryProcessor (14A+BN+fc)", pb_fn, args.n_short,
+            args.n_long, args.reps, variables=pv)
 
 
 if __name__ == "__main__":
