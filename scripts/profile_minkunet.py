@@ -33,6 +33,8 @@ def main():
     p.add_argument("--n-long", type=int, default=16)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--points", type=int, default=20000)
+    p.add_argument("--only", type=str, default="",
+                   help="skip the UNet sections; run only stem sections when 'stem'")
     args = p.parse_args()
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
@@ -52,7 +54,7 @@ def main():
     if occ:
         print("level occupancy:", occ, flush=True)
 
-    for arch, out_ch in (
+    archs = () if args.only == "stem" else (
         ("MinkUNet34C", 256),
         ("MinkUNet14A", 2),
         # the REAL binary-head body: PCBinaryProcessor runs 14A with
@@ -60,7 +62,8 @@ def main():
         # row above under-measures it (round-4 in-context decomposition
         # found the binary branch at ~9.2 ms vs this profiler's 4.75)
         ("MinkUNet14A", 256),
-    ):
+    )
+    for arch, out_ch in archs:
         mu = mink_unet(out_channels=out_ch, arch=arch, dtype=jnp.bfloat16)
         mv = jax.jit(lambda k, f, hh, mu=mu: mu.init(k, f, hh, False))(
             key, feats, h
@@ -73,19 +76,43 @@ def main():
         measure(f"{arch} out{out_ch} in-net ({args.points} pts)", fn,
                 args.n_short, args.n_long, args.reps, variables=mv)
 
-    # the full PCBinaryProcessor (14A out256 + MaskedBN + relu + fc(1)),
-    # exactly as run_3d invokes it
-    from xmask3d_tpu.models.xmask3d import PCBinaryProcessor
+    if args.only != "stem":
+        # the full PCBinaryProcessor (14A out256 + MaskedBN + relu + fc(1)),
+        # exactly as run_3d invokes it
+        from xmask3d_tpu.models.xmask3d import PCBinaryProcessor
 
-    pb = PCBinaryProcessor(arch="MinkUNet14A", dtype=jnp.bfloat16)
-    pv = jax.jit(lambda k, f: pb.init(k, f, h, False))(key, feats)
+        pb = PCBinaryProcessor(arch="MinkUNet14A", dtype=jnp.bfloat16)
+        pv = jax.jit(lambda k, f: pb.init(k, f, h, False))(key, feats)
 
-    def pb_fn(v, c):
-        out = pb.apply(v, feats + c * 1e-12, h, False)
-        return jnp.sum(out).astype(jnp.float32)
+        def pb_fn(v, c):
+            out = pb.apply(v, feats + c * 1e-12, h, False)
+            return jnp.sum(out).astype(jnp.float32)
 
-    measure("PCBinaryProcessor (14A+BN+fc)", pb_fn, args.n_short,
-            args.n_long, args.reps, variables=pv)
+        measure("PCBinaryProcessor (14A+BN+fc)", pb_fn, args.n_short,
+                args.n_long, args.reps, variables=pv)
+
+    # k5 stem in isolation, and the shared-gather variant: both flagship
+    # UNets run an identical-topology stem (same kmap5 table, same input
+    # voxels) with different weights — one conv with the two kernels
+    # concatenated along the output dim computes both in a single
+    # gather+band sweep (numerically identical after a split)
+    from xmask3d_tpu.ops.sparse_conv_pallas import sparse_conv_auto
+
+    kmap5 = h.kmap5  # (B, 125, V)
+    v0 = h.levels[0].valid
+    for cout, label in ((32, "one stem"), (64, "both stems, concat out")):
+        wk = jax.random.normal(key, (kmap5.shape[1], feats.shape[-1], cout),
+                               jnp.bfloat16) * 0.1
+
+        def stem_fn(v, c, wk=wk):
+            # keep the chain add in bf16: f32 promotion would silently run
+            # the kernel (and its VMEM staging) in fp32
+            x = feats + (c * 1e-12).astype(feats.dtype)
+            out = sparse_conv_auto(x, wk, kmap5, out_valid=v0)
+            return jnp.sum(out).astype(jnp.float32)
+
+        measure(f"k5 stem {label} ({cout}ch)", stem_fn, args.n_short,
+                args.n_long, args.reps, variables=0)
 
 
 if __name__ == "__main__":
