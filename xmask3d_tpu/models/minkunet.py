@@ -121,7 +121,8 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, kmap: Optional[jnp.ndarray], out_valid=None, brick=None
+        self, x: jnp.ndarray, kmap: Optional[jnp.ndarray], out_valid=None, brick=None,
+        weights_only: bool = False,
     ):
         w = self.param(
             "kernel", _kaiming_out, (self.num_offsets, x.shape[-1], self.features)
@@ -131,6 +132,11 @@ class SparseConv(nn.Module):
             if self.use_bias
             else None
         )
+        if weights_only:
+            # caller runs the contraction itself (fused-stem path: run_3d
+            # concatenates both UNets' stem kernels into one conv); params
+            # are created identically so the tree is unchanged
+            return w
         if kmap is None:  # 1x1 conv == plain matmul on the same coord map
             assert self.num_offsets == 1
             out = jnp.einsum(
@@ -245,7 +251,9 @@ class MinkUNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, feats: jnp.ndarray, h: SparseHierarchy, train: bool = False
+        self, feats: jnp.ndarray, h: SparseHierarchy, train: bool = False,
+        stem_conv: Optional[jnp.ndarray] = None,
+        stem_weights_only: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         dt, ax = self.dtype, self.axis_name
         lv = h.levels
@@ -254,10 +262,23 @@ class MinkUNet(nn.Module):
         def bn(name):
             return MaskedBatchNorm(axis_name=ax, dtype=dt, name=name)
 
+        if stem_weights_only:
+            # fused-stem serving path (xmask3d.run_3d): hand the caller the
+            # conv0 kernel so both flagship UNets' stems run as ONE sparse
+            # conv over the shared kmap5 table (same gather + band sweep,
+            # concatenated output channels — numerically identical)
+            return SparseConv(
+                self.init_dim, h.kmap5.shape[1], dtype=dt, name="conv0"
+            )(x, h.kmap5, weights_only=True)
+
         # stem: kernel-5 conv at stride 1 (brick-dense when metadata present:
         # the 125-tap map was the single most gather-heavy op in the net)
         brick0 = level_brick(lv[0]) if _bricks_enabled() else None
-        if brick0 is not None:
+        if stem_conv is not None:
+            # precomputed conv0 output (fused-stem path); params already
+            # created by the stem_weights_only pass
+            out_p1 = nn.relu(bn("bn0")(stem_conv.astype(dt), lv[0].valid, train))
+        elif brick0 is not None:
             _, sor0, sv0 = brick0
             x = to_brick(x, sor0, sv0.shape[-1])
             x = SparseConv(self.init_dim, h.kmap5.shape[1], dtype=dt, name="conv0")(

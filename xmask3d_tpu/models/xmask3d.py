@@ -38,7 +38,20 @@ from xmask3d_tpu.models.backbone import FeatureExtractorBackbone
 from xmask3d_tpu.models.clip import CLIP, CLIP_CONFIGS, build_clip
 from xmask3d_tpu.models.ldm_extractor import LDM_SD_V1, LDM_TINY, LdmConfig
 from xmask3d_tpu.models.mask_decoder import CategoryEmbed, ODISEMaskedTransformerDecoder
-from xmask3d_tpu.models.minkunet import mink_unet
+from xmask3d_tpu.models.minkunet import _bricks_enabled, mink_unet
+
+
+def _fused_stem_enabled() -> bool:
+    """Run both 3D UNets' k5 stems as ONE concat-output sparse conv
+    (XMASK3D_FUSED_STEM, default on). Shares the 125-tap gather + band
+    sweep between the nets; numerically identical. Skipped under the
+    brick-dense layout (its stem path has its own data layout)."""
+    import os
+
+    return (
+        os.environ.get("XMASK3D_FUSED_STEM", "1") == "1"
+        and not _bricks_enabled()
+    )
 from xmask3d_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
 
 
@@ -122,12 +135,15 @@ class PCProcessor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, hierarchy, train: bool):
+    def __call__(self, feats, hierarchy, train: bool, stem_conv=None,
+                 stem_weights_only: bool = False):
         unet = mink_unet(
             out_channels=self.last_dim, arch=self.arch,
             axis_name=self.axis_name, dtype=self.dtype,
         )
-        bottleneck, out = unet(feats, hierarchy, train)
+        if stem_weights_only:
+            return unet(feats, hierarchy, train, stem_weights_only=True)
+        bottleneck, out = unet(feats, hierarchy, train, stem_conv=stem_conv)
         implicit = nn.Dense(self.proj_dim, dtype=self.dtype, name="point2text_adapter")(
             bottleneck
         )
@@ -145,14 +161,17 @@ class PCBinaryProcessor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, hierarchy, train: bool):
+    def __call__(self, feats, hierarchy, train: bool, stem_conv=None,
+                 stem_weights_only: bool = False):
         from xmask3d_tpu.models.minkunet import MaskedBatchNorm
 
         unet = mink_unet(
             out_channels=self.last_dim, arch=self.arch,
             axis_name=self.axis_name, dtype=self.dtype,
         )
-        _, out = unet(feats, hierarchy, train)
+        if stem_weights_only:
+            return unet(feats, hierarchy, train, stem_weights_only=True)
+        _, out = unet(feats, hierarchy, train, stem_conv=stem_conv)
         valid = hierarchy.levels[0].valid
         out = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype, name="bn")(
             out, valid, train
@@ -221,7 +240,26 @@ class XMask3D(nn.Module):
             h = build_hierarchy_on_device(
                 batch["voxel_coords"], batch["voxel_num"], caps
             )
-        implicit, pred_3d_vox = self.pc_decoder(batch["voxel_feats"], h, train)
+        feats = batch["voxel_feats"]
+        stem34 = stem14 = None
+        if _fused_stem_enabled():
+            # both UNets open with an identical-topology k5 stem over the
+            # SAME kmap5 table and input voxels; one conv with the two
+            # kernels concatenated along the output dim computes both in a
+            # single gather+band sweep (numerically identical — each output
+            # column's contraction is unchanged). Measured 1.17 ms/stem vs
+            # 1.71 fused on v5e (profile_minkunet.py --only stem).
+            from xmask3d_tpu.ops.sparse_conv_pallas import sparse_conv_auto
+
+            w34 = self.pc_decoder(feats, h, train, stem_weights_only=True)
+            w14 = self.pc_binary_head(feats, h, train, stem_weights_only=True)
+            dt = self.cfg.dtype
+            wcat = jnp.concatenate([w34, w14], axis=-1).astype(dt)
+            stem = sparse_conv_auto(
+                feats.astype(dt), wcat, h.kmap5, out_valid=h.levels[0].valid
+            )
+            stem34, stem14 = jnp.split(stem, [w34.shape[-1]], axis=-1)
+        implicit, pred_3d_vox = self.pc_decoder(feats, h, train, stem_conv=stem34)
         # per-scene masked max over bottleneck voxels (xmask3d.py:153-159)
         neg = jnp.finfo(implicit.dtype).min
         bneck_valid = h.levels[-1].valid
@@ -232,7 +270,7 @@ class XMask3D(nn.Module):
         pred_3d = jnp.take_along_axis(
             pred_3d_vox, batch["inds_reconstruct"][..., None], axis=1
         )
-        binary_vox = self.pc_binary_head(batch["voxel_feats"], h, train)
+        binary_vox = self.pc_binary_head(feats, h, train, stem_conv=stem14)
         binary_scores = jnp.take_along_axis(
             binary_vox, batch["inds_reconstruct"][..., None], axis=1
         )[..., 0]
