@@ -29,6 +29,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="flagship-size model")
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--lr-scale", type=float, default=1.0,
+                    help="scale both lrs (the tiny synthetic config diverges "
+                         "to NaN logits by step 2 at the flagship lr; use "
+                         "0.01 for sustained-execution runs)")
     args = ap.parse_args()
 
     import __graft_entry__ as g
@@ -65,7 +69,10 @@ def main():
         cfg.pixel_enc_layers = 2
         model, variables, statics = init_model(cfg, batch, tiny=True)
 
-    optimizer = make_optimizer(cfg.lr_3d, cfg.lr_others, total_steps=1000)
+    optimizer = make_optimizer(
+        cfg.lr_3d * args.lr_scale, cfg.lr_others * args.lr_scale,
+        total_steps=1000,
+    )
     state = create_train_state(model, variables, optimizer)
     donate = os.environ.get("XMASK3D_DONATE", "1") == "1"
     train_step = jax.jit(
@@ -92,7 +99,11 @@ def main():
             loss = float(metrics["loss_total"])
             times.append(time.time() - t0)
             print(f"step {i}: {times[-1]:.3f}s loss={loss:.4f}", flush=True)
-            assert loss == loss, "NaN loss"
+            if loss != loss:
+                print(f"NaN loss at step {i} (training diverged; the step "
+                      "itself executed and returned) — lower --lr-scale for "
+                      "sustained runs", flush=True)
+                raise SystemExit(3)
             done = i + 1
     except Exception as e:  # jax.errors.JaxRuntimeError on worker crash
         print(f"WORKER CRASH after {done}/{args.steps} steps: {e}", flush=True)

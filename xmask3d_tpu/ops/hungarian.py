@@ -34,6 +34,15 @@ def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
     t, q = cost.shape
     assert t <= q, "requires num targets <= num queries"
     cost = cost.astype(jnp.float32)
+    # Termination guard: with NaN entries every comparison is False, sc
+    # stays _INF, no column ever becomes the sink and the Dijkstra loop
+    # below spins FOREVER — on TPU that presents as the runtime watchdog
+    # killing the worker ("TPU worker process crashed or restarted"), which
+    # is exactly what a train step whose logits overflowed to NaN does to
+    # the whole program. Sanitize to large finite costs (assignment on such
+    # input is arbitrary-but-valid; the training loss is already garbage)
+    # and additionally hard-bound both loops.
+    cost = jnp.nan_to_num(cost, nan=1e9, posinf=1e9, neginf=-1e9)
 
     def solve_row(carry, cur_row):
         u, v, row2col, col2row = carry
@@ -44,11 +53,14 @@ def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
         scanned_cols = jnp.zeros((q,), bool)
 
         def dijkstra_cond(state):
-            _, _, _, _, _, sink, _ = state
-            return sink < 0
+            _, _, _, _, _, sink, _, it = state
+            # a free column is always reached within q scans on finite
+            # costs; the explicit bound keeps the loop total even if the
+            # input defeats the sanitization above
+            return (sink < 0) & (it <= q)
 
         def dijkstra_body(state):
-            sc, pred, remaining, scanned_cols, i, sink, min_val = state
+            sc, pred, remaining, scanned_cols, i, sink, min_val, it = state
             red = min_val + cost[i] - u[i] - v  # reduced costs from row i
             better = remaining & (red < sc)
             sc = jnp.where(better, red, sc)
@@ -61,13 +73,17 @@ def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
             nxt = col2row[j]
             sink = jnp.where(nxt < 0, j, -1)
             i = jnp.where(nxt < 0, i, nxt)
-            return sc, pred, remaining, scanned_cols, i, sink, min_val
+            return sc, pred, remaining, scanned_cols, i, sink, min_val, it + 1
 
-        sc, pred, remaining, scanned_cols, _, sink, min_val = jax.lax.while_loop(
+        sc, pred, remaining, scanned_cols, _, sink, min_val, _ = jax.lax.while_loop(
             dijkstra_cond,
             dijkstra_body,
-            (sc, pred, remaining, scanned_cols, cur_row, jnp.int32(-1), jnp.float32(0.0)),
+            (sc, pred, remaining, scanned_cols, cur_row, jnp.int32(-1),
+             jnp.float32(0.0), jnp.int32(0)),
         )
+        # bound hit without a sink (unreachable on sanitized input): pick
+        # any free column so the augmentation below stays well-formed
+        sink = jnp.where(sink < 0, jnp.argmin(jnp.where(col2row < 0, 0, 1)), sink)
 
         # update potentials
         u = u.at[cur_row].add(min_val)
@@ -91,20 +107,22 @@ def linear_sum_assignment(cost: jnp.ndarray) -> jnp.ndarray:
 
         # augment along predecessor path, ending at sink
         def aug_cond(state):
-            _, _, j, done = state
-            return ~done
+            _, _, j, done, it = state
+            # the augmenting path alternates rows/columns, length <= t
+            return (~done) & (it <= t)
 
         def aug_body(state):
-            row2col, col2row, j, _ = state
+            row2col, col2row, j, _, it = state
             i = pred[j]
             col2row = col2row.at[j].set(i)
             prev_j = row2col[i]
             row2col = row2col.at[i].set(j)
             done = i == cur_row
-            return row2col, col2row, prev_j, done
+            return row2col, col2row, prev_j, done, it + 1
 
-        row2col, col2row, _, _ = jax.lax.while_loop(
-            aug_cond, aug_body, (row2col, col2row, sink, jnp.bool_(False))
+        row2col, col2row, _, _, _ = jax.lax.while_loop(
+            aug_cond, aug_body,
+            (row2col, col2row, sink, jnp.bool_(False), jnp.int32(0)),
         )
         return (u, v, row2col, col2row), None
 
