@@ -293,6 +293,38 @@ def load_ref_classes(relpath: str, class_names, extra_globals=None):
     return ns
 
 
+def exec_ref_block(relpath: str, start_marker: str, end_marker: str, ns: dict):
+    """Execute a contiguous statement block of a reference source file,
+    UNMODIFIED, inside `ns`.
+
+    For oracle code that lives inside a function body and cannot be imported
+    (e.g. the multi-view ensemble + routing block of run/infer.py:484-648,
+    which sits inside `validate`). The block is located by its first and last
+    line's stripped source text (robust to line-number drift), the common
+    leading indentation is removed, and the statements run verbatim against
+    the variables prepared in `ns`.
+    """
+    import textwrap
+
+    path = relpath if relpath.startswith("/") else f"{REF}/{relpath}"
+    with open(path) as f:
+        lines = f.read().splitlines(keepends=True)
+    start = end = None
+    for i, line in enumerate(lines):
+        s = line.strip()
+        if start is None and s == start_marker:
+            start = i
+        elif start is not None and s == end_marker:
+            end = i
+            break
+    assert start is not None and end is not None, (
+        f"markers not found in {path}: {start_marker!r} .. {end_marker!r}"
+    )
+    block = textwrap.dedent("".join(lines[start : end + 1]))
+    exec(compile(block, f"{path}:{start + 1}", "exec"), ns)
+    return ns
+
+
 def load_ref_module(dotted: str):
     """Import a reference module without executing real package __init__s.
 

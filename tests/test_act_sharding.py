@@ -10,6 +10,7 @@ forward is numerically identical to the replicated one, (b) the constraint
 really lands in the lowered program, and (c) indivisible dims no-op safely.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +22,9 @@ from xmask3d_tpu.parallel.mesh import (
     create_mesh,
     shard_spatial,
 )
+
+# compile-heavy kernel/model tests (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
 
 
 def _unet_and_inputs(hw=32):

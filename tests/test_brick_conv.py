@@ -14,6 +14,9 @@ from xmask3d_tpu.data.voxelizer import Voxelizer
 from xmask3d_tpu.ops.brick_conv import brick_conv, from_brick, to_brick
 from xmask3d_tpu.ops.sparse_conv import build_hierarchy, sparse_conv
 
+# compile-heavy kernel/model tests (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 def _surface_hierarchy(seed=0, cap=2048):
     rng = np.random.RandomState(seed)

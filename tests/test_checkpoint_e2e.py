@@ -31,6 +31,9 @@ from tests.ref_state_dict import (
 from xmask3d_tpu.checkpoint.convert_torch import apply_flat_updates
 from xmask3d_tpu.checkpoint.convert_xmask3d import convert_xmask3d_checkpoint
 
+# compile-heavy: builds/compiles a full tiny model (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 class RecordingSD(dict):
     """state_dict that records consumed keys and raises on unknown ones."""

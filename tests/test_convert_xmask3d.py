@@ -10,6 +10,9 @@ import pytest
 from xmask3d_tpu.checkpoint.convert_xmask3d import convert_xmask3d_checkpoint
 from xmask3d_tpu.engine.train_step import param_label
 
+# compile-heavy: builds/compiles a full tiny model (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 class FakeSD(dict):
     """Answers any torch key with a plausibly-shaped array (coverage-only)."""

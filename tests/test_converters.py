@@ -20,6 +20,9 @@ from xmask3d_tpu.checkpoint.convert_torch import (
 )
 from xmask3d_tpu.models.ldm_extractor import LDM_TINY, LdmExtractor
 
+# compile-heavy kernel/model tests (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 def _flatten(params, prefix=""):
     out = {}

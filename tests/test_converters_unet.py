@@ -13,6 +13,9 @@ from xmask3d_tpu.checkpoint.convert_torch import (
 from xmask3d_tpu.models.ldm_extractor import LDM_TINY, LdmExtractor
 from tests.test_converters import _flatten, _unflatten_prefix, _lookup
 
+# compile-heavy kernel/model tests (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 @pytest.fixture(scope="module")
 def tiny_params():

@@ -5,6 +5,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# compile-heavy: builds/compiles a full tiny model (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 def test_param_labels():
     from xmask3d_tpu.engine.train_step import param_label

@@ -2,6 +2,7 @@
 exactly; deeper levels may permute rows, so equivalence is checked through
 the MinkUNet output (which only depends on level-0 row order)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,9 @@ import jax.numpy as jnp
 from xmask3d_tpu.ops.hierarchy_device import build_hierarchy_on_device
 from xmask3d_tpu.ops.sparse_conv import build_hierarchy, stack_hierarchies
 from xmask3d_tpu.models.minkunet import mink_unet
+
+# compile-heavy kernel/model tests (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
 
 CAPS = (256, 256, 128, 64, 32)
 

@@ -11,6 +11,9 @@ import pytest
 
 from mini_scannet import BASE, LABEL_2D, NOVEL, build_mini_scannet
 
+# compile-heavy: builds/compiles a full tiny model (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 @pytest.fixture(scope="module")
 def mini_root(tmp_path_factory):

@@ -7,6 +7,9 @@ from xmask3d_tpu.models.diffusion import GaussianDiffusion, make_betas, space_ti
 from xmask3d_tpu.models.ldm_extractor import LDM_TINY
 from xmask3d_tpu.models.backbone import FeatureExtractorBackbone
 
+# compile-heavy kernel/model tests (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 def test_beta_schedules():
     for name in ["linear", "ldm_linear", "cosine"]:

@@ -1,9 +1,13 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from xmask3d_tpu.ops.sparse_conv import build_hierarchy, stack_hierarchies
 from xmask3d_tpu.models.minkunet import mink_unet
+
+# compile-heavy kernel/model tests (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
 
 CAPS = (256, 128, 64, 32, 16)
 

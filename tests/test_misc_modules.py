@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import pytest
 
 
+@pytest.mark.e2e  # compiles a tiny SD sampler loop (~25 s); not in test-fast
 def test_txt2img_cfg_sampling_tiny():
     from xmask3d_tpu.models.diffusion import GaussianDiffusion
     from xmask3d_tpu.models.sd_unet import SDUNet, UNET_TINY

@@ -14,6 +14,9 @@ import pytest
 import __graft_entry__ as g
 from xmask3d_tpu.engine.builder import init_model
 
+# compile-heavy: builds/compiles a full tiny model (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 @pytest.fixture(scope="module")
 def tiny_model():

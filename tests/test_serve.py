@@ -2,6 +2,7 @@
 must produce exactly the same vote state as dispatching the views one by
 one — same per-view semantics, different dispatch boundary."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,9 @@ from xmask3d_tpu.data.batching import Capacities
 from xmask3d_tpu.data.synthetic import synthetic_batch
 from xmask3d_tpu.engine import serve
 from xmask3d_tpu.engine.builder import init_model
+
+# compile-heavy: builds/compiles a full tiny model (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
 
 
 def test_scene_scan_matches_per_view_dispatch():

@@ -16,6 +16,9 @@ import __graft_entry__ as g
 from xmask3d_tpu.engine.builder import init_model
 from xmask3d_tpu.parallel.mesh import create_mesh, shard_batch, shard_params
 
+# compile-heavy: builds/compiles a full tiny model (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 
 @pytest.mark.slow
 def test_tp2_forward_matches_replicated():

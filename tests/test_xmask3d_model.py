@@ -10,6 +10,9 @@ from xmask3d_tpu.data.batching import Capacities
 from xmask3d_tpu.data.synthetic import synthetic_batch
 from xmask3d_tpu.engine.builder import init_model, build_statics
 
+# compile-heavy: builds/compiles a full tiny model (excluded from make test-fast)
+pytestmark = pytest.mark.e2e
+
 TINY_CAPS = Capacities(max_points=512, max_voxels=256, max_targets=8)
 
 

@@ -118,11 +118,46 @@ def zero_statics(model: XMask3D, cfg: Config) -> Dict[str, jnp.ndarray]:
     }
 
 
+def _materialize_by_shape(shapes, seed: int):
+    """Fill an eval_shape variables pytree with sane deterministic values:
+    norm scales get 1, biases/stats 0, everything else N(0, 0.02). Used by
+    shape-only init (compile-free); values only need to keep a forward
+    finite, not train well. Host numpy throughout — per-leaf jax dispatches
+    cost ~30 s on a single-core box."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    rng = np.random.RandomState(seed)
+    leaves = []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
+        last = name.rsplit("/", 1)[-1]
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            leaves.append(jnp.zeros(leaf.shape, leaf.dtype))
+        elif last in ("scale", "gamma") or name.endswith("var"):
+            leaves.append(jnp.ones(leaf.shape, leaf.dtype))
+        elif last in ("bias", "beta", "mean") or leaf.ndim == 0:
+            leaves.append(jnp.zeros(leaf.shape, leaf.dtype))
+        else:
+            leaves.append(
+                jnp.asarray(
+                    (0.02 * rng.randn(*leaf.shape)).astype(np.float32), leaf.dtype
+                )
+            )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def init_model(
-    cfg: Config, batch, tiny: bool = False, seed: int = 0
+    cfg: Config, batch, tiny: bool = False, seed: int = 0,
+    init_mode: str = "value",
 ) -> Tuple[XMask3D, Any, Dict[str, jnp.ndarray]]:
     """Build model, init variables on the given example batch, compute
-    statics. Returns (model, variables, statics)."""
+    statics. Returns (model, variables, statics).
+
+    init_mode="value" runs the real (jit-compiled) flax init.
+    init_mode="shape" traces init under jax.eval_shape (NO compile/execute —
+    on a CPU mesh the compiled init alone costs minutes) and materializes
+    parameters by shape; for compile-validation paths like dryrun_multichip
+    where parameter values are irrelevant.
+    """
     mc = model_config_from_cfg(cfg, tiny=tiny)
     model = XMask3D(cfg=mc)
     statics0 = zero_statics(model, cfg)
@@ -132,12 +167,31 @@ def init_model(
     }
     # init on the train path: it exercises every submodule (incl. the CLIP
     # text tower used for captions/statics), so all params are created.
-    # jit the init: eager init dispatches thousands of tiny host ops.
-    init_fn = jax.jit(partial(model.init, train=True))
-    variables = init_fn(rngs, batch, statics0)
+    if init_mode == "shape":
+        import os
+        import time
+
+        _t = time.time()
+        shapes = jax.eval_shape(partial(model.init, train=True), rngs, batch, statics0)
+        if os.environ.get("XMASK3D_TIME_INIT") == "1":
+            print(f"  [init] eval_shape: {time.time()-_t:.1f}s", flush=True)
+            _t = time.time()
+        variables = _materialize_by_shape(shapes, seed)
+        if os.environ.get("XMASK3D_TIME_INIT") == "1":
+            print(f"  [init] materialize: {time.time()-_t:.1f}s", flush=True)
+    else:
+        # jit the init: eager init dispatches thousands of tiny host ops.
+        init_fn = jax.jit(partial(model.init, train=True))
+        variables = init_fn(rngs, batch, statics0)
     variables = {
         "params": variables["params"],
         "batch_stats": variables.get("batch_stats", {}),
     }
+    import os as _os
+    import time as _time
+
+    _t = _time.time()
     statics = build_statics(model, variables, cfg)
+    if _os.environ.get("XMASK3D_TIME_INIT") == "1":
+        print(f"  [init] build_statics: {_time.time()-_t:.1f}s", flush=True)
     return model, variables, statics
