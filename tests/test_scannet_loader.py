@@ -215,3 +215,85 @@ def test_scannet200_loader_remap(mini_dataset):
     assert set(np.unique(s.labels_3d)) <= {0, 1, 2, 3}
     # 2D labels remapped from raw 200-vocab ids to contiguous 0..4
     assert set(np.unique(s.label_2d)) <= set(range(5)) | {6}
+
+
+# ---------------------------------------------------------------------------
+# train-time grid-alignment jitter (reference run/train.py:481)
+# ---------------------------------------------------------------------------
+
+
+def test_grid_jitter_translation_semantics():
+    """A multiple-of-16 translation is an exact no-op for the whole
+    hierarchy (all kernel maps identical); the jitter only re-randomizes
+    alignment mod the strides. Pins the argument in PARITY.md."""
+    import numpy as np
+
+    from xmask3d_tpu.ops.sparse_conv import build_hierarchy
+
+    rng = np.random.RandomState(0)
+    coords = np.unique(rng.randint(0, 40, size=(200, 3)), axis=0).astype(
+        np.int32
+    )
+    caps = (256, 128, 64, 32, 16)
+    h0 = build_hierarchy(coords, caps)
+    h16 = build_hierarchy(coords + np.int32(16), caps)
+    for l0, l1 in zip(h0.levels, h16.levels):
+        assert int(l0.num) == int(l1.num)
+        np.testing.assert_array_equal(np.asarray(l0.kmap3), np.asarray(l1.kmap3))
+        np.testing.assert_array_equal(
+            np.asarray(l0.coords)[np.asarray(l0.valid)] + 16,
+            np.asarray(l1.coords)[np.asarray(l1.valid)],
+        )
+    np.testing.assert_array_equal(np.asarray(h0.kmap5), np.asarray(h16.kmap5))
+    for a, b in zip(h0.down, h16.down):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(h0.up_parent, h16.up_parent):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(h0.up_octant, h16.up_octant):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a non-multiple translation changes the strided pooling partition
+    # (that is the augmentation), but never the stride-1 topology
+    h1 = build_hierarchy(coords + np.int32(1), caps)
+    np.testing.assert_array_equal(np.asarray(h0.kmap5), np.asarray(h1.kmap5))
+    np.testing.assert_array_equal(
+        np.asarray(h0.levels[0].kmap3), np.asarray(h1.levels[0].kmap3)
+    )
+
+
+def test_collate_grid_jitter_applies_to_train_only_fields():
+    """grid_jitter_rng shifts voxel coords by one per-batch constant in
+    [0, 16) and touches nothing else in the batch."""
+    import numpy as np
+
+    from xmask3d_tpu.data.batching import Capacities, collate_views
+    from xmask3d_tpu.data.synthetic import synthetic_view_sample
+
+    caps = Capacities(max_points=256, max_voxels=128, max_targets=8)
+    rng = np.random.RandomState(0)
+    samples = [
+        synthetic_view_sample(
+            rng, caps, num_points=400, image_size=(64, 64), mask_shape=(24, 32),
+            context_length=16, vocab_size=512,
+        )
+        for _ in range(2)
+    ]
+    plain = collate_views(samples, caps, num_base=15, device_hierarchy=True)
+    jit = collate_views(
+        samples, caps, num_base=15, device_hierarchy=True,
+        grid_jitter_rng=np.random.RandomState(7),
+    )
+    for b in range(2):
+        n = int(plain["voxel_num"][b])
+        d = jit["voxel_coords"][b][:n] - plain["voxel_coords"][b][:n]
+        consts = np.unique(d, axis=0)
+        assert consts.shape == (1, 3)
+        assert (consts >= 0).all() and (consts < 16).all()
+    # same shift for every sample of the batch (reference: one rand(3)/iter)
+    np.testing.assert_array_equal(
+        jit["voxel_coords"][0][:1] - plain["voxel_coords"][0][:1],
+        jit["voxel_coords"][1][:1] - plain["voxel_coords"][1][:1],
+    )
+    for k in ("voxel_feats", "inds_reconstruct", "labels_3d", "x_label",
+              "y_label", "img", "point_valid"):
+        np.testing.assert_array_equal(plain[k], jit[k])

@@ -78,6 +78,7 @@ def collate_views(
     caps: Capacities,
     num_base: int,
     device_hierarchy: bool = False,
+    grid_jitter_rng: Any = None,
 ) -> Dict[str, Any]:
     """Pad and stack view samples into a fixed-shape batch dict (numpy).
 
@@ -86,6 +87,16 @@ def collate_views(
     (ops/hierarchy_device.py) — ~15 MB/view less H2D traffic. Stride-1
     coords are clamped below 1024/axis (the device builder's int32 key
     budget; 20 m at 2 cm voxels).
+
+    grid_jitter_rng (train only): the reference adds a shared uniform
+    [0, 100) shift to the whole batch's voxel coords before SparseTensor
+    construction (run/train.py:481: `coords[:, 1:4] += torch.rand(3)*100`).
+    Since the coords are integers, floor quantization makes this an integer
+    translation — a NO-OP for stride-1 conv topology, but NOT for strided
+    levels: parent assignment is `(c // s) * s`, so the shift mod 16
+    re-randomizes which voxels pool together at every stride. It is a
+    grid-alignment augmentation. Pass a numpy RandomState to enable; one
+    shift is drawn per batch (reference semantics).
     """
     hs, batch = [], {}
     p, v = caps.max_points, caps.max_voxels
@@ -98,8 +109,20 @@ def collate_views(
         "y_label": [],
     }
     point_valid, tgt_labels, tgt_valid = [], [], []
+    # a translation only matters mod 16 (the deepest stride), so draw in
+    # [0, 16) instead of the reference's [0, 100) — same augmentation
+    # family, and it keeps coords inside the 1024/axis key budget without
+    # wrapping (which would corrupt adjacency at the boundary)
+    jitter = (
+        grid_jitter_rng.randint(0, 16, size=(1, 3)).astype(np.int32)
+        if grid_jitter_rng is not None
+        else None
+    )
     for s in samples:
-        coords = np.clip(s.voxel_coords[:v], 0, 1023).astype(np.int32)
+        coords = s.voxel_coords[:v].astype(np.int32)
+        if jitter is not None:
+            coords = coords + jitter
+        coords = np.clip(coords, 0, 1023)
         if device_hierarchy:
             vox_coords.append(_pad1(coords, v))
             vox_num.append(np.int32(len(coords)))

@@ -371,7 +371,16 @@ class ScanNetViews:
 
     def batch(self, indices: Sequence[int]) -> Dict:
         samples = [self.get(i) for i in indices]
-        return collate_views(samples, self.caps, num_base=len(self.cfg.base_category))
+        # train-time grid-alignment jitter (reference run/train.py:481):
+        # one integer translation per batch re-randomizes which voxels pool
+        # together at every stride (parent = (c // s) * s); a pure
+        # translation is a no-op for stride-1 topology, so only strided
+        # levels see it — see collate_views
+        jitter_rng = self.rng if self.cfg.split == "train" else None
+        return collate_views(
+            samples, self.caps, num_base=len(self.cfg.base_category),
+            grid_jitter_rng=jitter_rng,
+        )
 
 
 class ScanNetSceneViews(ScanNetViews):
