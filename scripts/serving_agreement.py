@@ -93,10 +93,6 @@ def main():
 
     step32, route32 = make_infer_step(model32, cfg)
     step16, route16 = make_infer_step(model16, cfg)
-    # separate model instance => separate jit cache; traced under the int8
-    # override so its compiled program keeps the W8A8 path
-    model16q = type(model32)(cfg=model_config_from_cfg(cfg, tiny=tiny))
-    step8, route8 = make_infer_step(model16q, cfg)
     scene_caps = scene_caps_from_view_caps(caps, factor=4)
     scene_3d_step = make_scene_3d_step(model16)
     reuse_step, reuse_route = make_reuse_infer_step(model16, cfg)
@@ -106,19 +102,14 @@ def main():
             scene, step, route, vs, statics, caps, cfg.classes, cfg.test_classes
         )
 
-    def int8_scene(scene):
-        from xmask3d_tpu.ops.int8_quant import set_int8
-
-        set_int8(True)
-        try:
-            return per_view(step8, route8, variables_bf16, scene)
-        finally:
-            set_int8(None)
-
+    # int8 W8A8 was RETIRED from the model wiring in round 5: dynamic
+    # activation quantization measured 3x slower full-model on v5e
+    # (BASELINE.md round 4) with no accuracy story; ops/int8_quant.py stays
+    # as a tested standalone op pending calibrated static scales + a fused
+    # quantize+conv kernel.
     variants = {
         "bf16_compute": lambda scene: per_view(step16, route16, variables, scene),
         "bf16_weights": lambda scene: per_view(step16, route16, variables_bf16, scene),
-        "int8_w8a8": int8_scene,
         "scene_reuse": lambda scene: run_scene_reuse(
             scene, scene_3d_step, reuse_step, reuse_route, variables_bf16,
             statics, caps, scene_caps, num_base=cfg.classes,

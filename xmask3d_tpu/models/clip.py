@@ -24,8 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from xmask3d_tpu.ops.int8_quant import QDense
-
 
 @dataclasses.dataclass(frozen=True)
 class CLIPTextConfig:
@@ -88,7 +86,7 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x, blocked=None, bias=None):
         b, t, c = x.shape
         h = self.heads
-        qkv = QDense(3 * c, dtype=self.dtype, name="in_proj")(x)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_split(z):
@@ -106,7 +104,7 @@ class MultiHeadAttention(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
-        return QDense(c, dtype=self.dtype, name="out_proj")(out)
+        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -121,9 +119,9 @@ class ResidualAttentionBlock(nn.Module):
             y, blocked=blocked, bias=bias
         )
         y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
-        y = QDense(4 * c, dtype=self.dtype, name="mlp_c_fc")(y)
+        y = nn.Dense(4 * c, dtype=self.dtype, name="mlp_c_fc")(y)
         y = quick_gelu(y)
-        x = x + QDense(c, dtype=self.dtype, name="mlp_c_proj")(y)
+        x = x + nn.Dense(c, dtype=self.dtype, name="mlp_c_proj")(y)
         return x
 
 

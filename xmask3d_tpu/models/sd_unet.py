@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xmask3d_tpu.ops.int8_quant import QConv, QDense, int8_enabled, quant_dot
 
 from xmask3d_tpu.models.layers import group_norm, upsample2x_nearest
 from xmask3d_tpu.ops.flash_attention import attention
@@ -64,14 +63,14 @@ class UNetResBlock(nn.Module):
     def __call__(self, x, emb):
         h = group_norm(x.shape[-1], self.dtype, "in_norm")(x)
         h = nn.silu(h)
-        h = QConv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
-        e = QDense(self.out_ch, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        e = nn.Dense(self.out_ch, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + e[:, None, None, :]
         h = group_norm(h.shape[-1], self.dtype, "out_norm")(h)
         h = nn.silu(h)
-        h = QConv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="out_conv")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="out_conv")(h)
         if x.shape[-1] != self.out_ch:
-            x = QConv(self.out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
         return x + h
 
 
@@ -107,10 +106,8 @@ class CrossAttention(nn.Module):
         wq = _ProjKernel(c, name="to_q")(c).astype(self.dtype)
         wk = _ProjKernel(c, name="to_k")(cin).astype(self.dtype)
         wv = _ProjKernel(c, name="to_v")(cin).astype(self.dtype)
-        quant = int8_enabled() and c >= 64
-
         def mm(a, w):
-            return quant_dot(a, w, self.dtype) if quant else a @ w
+            return a @ w
 
         if context is None:
             qkv = mm(x, jnp.concatenate([wq, wk, wv], axis=1))
@@ -128,7 +125,7 @@ class CrossAttention(nn.Module):
         # inputs); XLA fallback on CPU / unsupported shapes
         out = attention(q, k, v).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], c)
-        return QDense(c, dtype=self.dtype, name="to_out")(out)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
 class GEGLU(nn.Module):
@@ -137,7 +134,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = QDense(2 * self.out_dim, dtype=self.dtype, name="proj")(x)
+        h = nn.Dense(2 * self.out_dim, dtype=self.dtype, name="proj")(x)
         a, b = jnp.split(h, 2, axis=-1)
         return a * jax.nn.gelu(b)
 
@@ -157,7 +154,7 @@ class BasicTransformerBlock(nn.Module):
         )
         y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         y = GEGLU(4 * c, dtype=self.dtype, name="ff_geglu")(y)
-        x = x + QDense(c, dtype=self.dtype, name="ff_out")(y)
+        x = x + nn.Dense(c, dtype=self.dtype, name="ff_out")(y)
         return x
 
 
@@ -169,13 +166,13 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         y = group_norm(x.shape[-1], self.dtype, "norm")(x)
-        y = QConv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, c)
         y = BasicTransformerBlock(self.heads, dtype=self.dtype, name="block_0")(
             y, context
         )
         y = y.reshape(b, h, w, c)
-        y = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
         return x + y
 
 
@@ -204,10 +201,10 @@ class SDUNet(nn.Module):
         ResBlock = nn.remat(UNetResBlock) if self.remat else UNetResBlock
         SpatialT = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
         temb = timestep_embedding(t, mc)
-        emb = QDense(4 * mc, dtype=self.dtype, name="time_embed_0")(
+        emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_0")(
             temb.astype(self.dtype)
         )
-        emb = QDense(4 * mc, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+        emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
         if cond_emb is not None:
             # implicit captioner offset on the time embedding (ldm.py:432-433)
             emb = emb + cond_emb.astype(self.dtype)
@@ -216,7 +213,7 @@ class SDUNet(nn.Module):
         taps: List[jnp.ndarray] = []
         hs: List[jnp.ndarray] = []
         h = shard_spatial(
-            QConv(mc, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(
+            nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(
                 x.astype(self.dtype)
             )
         )
@@ -235,7 +232,7 @@ class SDUNet(nn.Module):
                 h = shard_spatial(h)
                 hs.append(h)
             if lv != n_lv - 1:
-                h = shard_spatial(QConv(
+                h = shard_spatial(nn.Conv(
                     h.shape[-1], (3, 3), strides=(2, 2), padding=1,
                     dtype=self.dtype, name=f"down_{lv}_downsample",
                 )(h))
@@ -267,7 +264,7 @@ class SDUNet(nn.Module):
                 h = shard_spatial(h)
                 if lv != 0 and i == cfg.num_res_blocks:
                     h = upsample2x_nearest(h)
-                    h = shard_spatial(QConv(
+                    h = shard_spatial(nn.Conv(
                         h.shape[-1], (3, 3), padding=1, dtype=self.dtype,
                         name=f"up_{lv}_upsample",
                     )(h))
@@ -275,7 +272,7 @@ class SDUNet(nn.Module):
 
         h = group_norm(h.shape[-1], self.dtype, "out_norm")(h)
         h = nn.silu(h)
-        eps = QConv(
+        eps = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="out_conv"
         )(h)
         return eps, taps

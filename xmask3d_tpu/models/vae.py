@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xmask3d_tpu.ops.int8_quant import QConv, QDense
 
 from xmask3d_tpu.models.layers import gn_groups, group_norm, upsample2x_nearest
 from xmask3d_tpu.ops.flash_attention import attention
@@ -95,7 +94,7 @@ class ResnetBlock(nn.Module):
             )
         h = group_norm(c, self.dtype, norm_name)(x)
         h = nn.silu(h)
-        return QConv(
+        return nn.Conv(
             self.out_ch, (3, 3), padding=1, dtype=self.dtype, name=conv_name
         )(h)
 
@@ -104,7 +103,7 @@ class ResnetBlock(nn.Module):
         h = self._gn_silu_conv(x, "norm1", "conv1")
         h = self._gn_silu_conv(h, "norm2", "conv2")
         if x.shape[-1] != self.out_ch:
-            x = QConv(self.out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
 
 
@@ -117,13 +116,13 @@ class AttnBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         y = group_norm(x.shape[-1], self.dtype, "norm")(x)
-        q = QConv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, 1, h * w, c)
-        k = QConv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, 1, h * w, c)
-        v = QConv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, 1, h * w, c)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, 1, h * w, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, 1, h * w, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, 1, h * w, c)
         # flash path on TPU: at 64^2 latents the XLA formulation materializes
         # a (4096, 4096) fp32 score matrix (67 MB of HBM round-trips)
         out = attention(q, k, v).reshape(b, h, w, c)
-        out = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
 
 
@@ -134,7 +133,7 @@ class Downsample(nn.Module):
     def __call__(self, x):
         # SD VAE uses asymmetric (0,1) padding for the strided conv
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return QConv(
+        return nn.Conv(
             x.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
             dtype=self.dtype, name="conv",
         )(x)
@@ -147,7 +146,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = upsample2x_nearest(x)
-        return QConv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
 class VAEEncoder(nn.Module):
@@ -170,7 +169,7 @@ class VAEEncoder(nn.Module):
         taps = []
         flat_idx = 0
         h = shard_spatial(
-            QConv(c.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+            nn.Conv(c.ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         )
         # shard_spatial: opt-in activation sharding for TP training fit —
         # no-op unless parallel.mesh.activation_sharding is enabled
@@ -192,7 +191,7 @@ class VAEEncoder(nn.Module):
         h = shard_spatial(RB(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h))
         h = group_norm(h.shape[-1], self.dtype, "norm_out")(h)
         h = h * jax.nn.sigmoid(h)  # swish, as written in the LDM encoder tail
-        h = QConv(
+        h = nn.Conv(
             2 * c.z_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)
         return h, taps
@@ -215,7 +214,7 @@ class VAEDecoder(nn.Module):
         taps = []
         n_lv = len(c.ch_mult)
         block_in = c.ch * c.ch_mult[-1]
-        h = QConv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         h = RB(block_in, dtype=self.dtype, name="mid_block_1")(h)
         h = AB(dtype=self.dtype, name="mid_attn_1")(h)
         h = shard_spatial(RB(block_in, dtype=self.dtype, name="mid_block_2")(h))
@@ -235,7 +234,7 @@ class VAEDecoder(nn.Module):
                 )
         h = group_norm(h.shape[-1], self.dtype, "norm_out")(h)
         h = h * jax.nn.sigmoid(h)
-        h = QConv(3, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        h = nn.Conv(3, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
         return h, taps
 
 
@@ -257,8 +256,8 @@ class AutoencoderKL(nn.Module):
         self.decoder = VAEDecoder(
             self.cfg, self.decoder_taps, dtype=self.dtype, remat=self.remat
         )
-        self.quant_conv = QDense(2 * self.cfg.embed_dim, dtype=self.dtype)
-        self.post_quant_conv = QDense(self.cfg.z_channels, dtype=self.dtype)
+        self.quant_conv = nn.Dense(2 * self.cfg.embed_dim, dtype=self.dtype)
+        self.post_quant_conv = nn.Dense(self.cfg.z_channels, dtype=self.dtype)
 
     def __call__(self, x):  # init convenience
         z, enc_taps = self.encode(x)

@@ -19,10 +19,13 @@ Quantization scheme (dynamic, no calibration pass):
     window spans many pixels, so the scale must be constant across it);
   - accumulation in int32 (`preferred_element_type`), rescale in fp32.
 
-The mode is OFF by default (`XMASK3D_INT8=1` to enable) and is a serving
-protocol divergence like BENCH_SCENE_REUSE: int8 rounding changes logits,
-so it stays gated until real-data hIoU validates it
-(scripts/serving_agreement.py measures the prediction flip rate vs fp32).
+STATUS (round 5): RETIRED from the model wiring. The full-model W8A8 bench
+measured 3x SLOWER than bf16 on v5e (0.179 vs 0.574 scenes/sec, BASELINE.md
+round 4) — dynamic activation quantization breaks XLA producer fusion and
+triples HBM traffic. models/{vae,sd_unet}.py use plain nn.Conv/nn.Dense
+again; QConv/QDense remain here as a tested standalone op. A revival needs
+calibrated STATIC activation scales plus a fused quantize+conv Pallas
+kernel; until then `XMASK3D_INT8` affects nothing in the model.
 
 Layers below a size floor (contraction or output dim < 64) keep the exact
 bf16 path — they contribute no measurable time but concentrate
