@@ -283,6 +283,42 @@ INTENTIONALLY_UNCONSUMED = (
 )
 
 
+def tiny_manifest_from_model(model, flat_params) -> Dict[str, Tuple[int, ...]]:
+    """Reference-checkpoint manifest with dims read off a built (tiny)
+    model's flattened param tree — shared by the tiny-conversion test and
+    the parity runbook's dry run (scripts/parity_b15n4.sh --dry-run)."""
+    tap_dims = []
+    i = 0
+    while f"backbone/proj_{i}/conv1/kernel" in flat_params:
+        tap_dims.append(flat_params[f"backbone/proj_{i}/conv1/kernel"].shape[2])
+        i += 1
+    cp = flat_params["backbone/feature_extractor/clip_project/positional_embedding"]
+    tp = flat_params["backbone/feature_extractor/time_embed_project/linear/kernel"]
+    manifest = xmask3d_state_dict_manifest(
+        arch_3d=model.cfg.arch_3d,
+        arch_binary=model.cfg.arch_binary_head,
+        num_classes=model.cfg.num_classes,
+        num_queries=model.cfg.num_queries,
+        tap_dims=tap_dims,
+        proj_dim=flat_params["backbone/proj_0/conv3/kernel"].shape[3],
+        conv_dim=flat_params["pixel_decoder/mask_features/kernel"].shape[3],
+        latent_dim=model.cfg.projection_dim,
+        seq_len=cp.shape[1],
+        time_embed_dim=tp.shape[1],
+        enc_layers=model.cfg.pixel_enc_layers,
+        dec_layers=model.cfg.dec_layers,
+    )
+    # tiny clip_project output width = SD text-conditioning width, not 768
+    cond_w = cp.shape[2]
+    manifest["backbone.feature_extractor.clip_project.linear.weight"] = (
+        cond_w, model.cfg.projection_dim)
+    manifest["backbone.feature_extractor.clip_project.linear.bias"] = (cond_w,)
+    manifest["backbone.feature_extractor.clip_project.positional_embedding"] = (
+        1, cp.shape[1], cond_w)
+    manifest["backbone.feature_extractor.alpha_cond"] = (1, cp.shape[1], cond_w)
+    return manifest
+
+
 def build_state_dict(manifest: Dict[str, Tuple[int, ...]], values: str = "tags"):
     """Manifest -> {key: fp32 array}; returns (sd, tag_of_key).
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from tests.ref_state_dict import (
     INTENTIONALLY_UNCONSUMED,
     build_state_dict,
+    tiny_manifest_from_model,
     xmask3d_state_dict_manifest,
 )
 from xmask3d_tpu.checkpoint.convert_torch import apply_flat_updates
@@ -233,35 +234,7 @@ def test_tiny_conversion_loads_and_runs(tiny_setup):
 
     # tiny dims read off the actual model tree (naming independence is
     # proven by the full-manifest tests above; this one proves load+run)
-    tap_dims = []
-    i = 0
-    while f"backbone/proj_{i}/conv1/kernel" in flat:
-        tap_dims.append(flat[f"backbone/proj_{i}/conv1/kernel"].shape[2])
-        i += 1
-    cp = flat["backbone/feature_extractor/clip_project/positional_embedding"]
-    tp = flat["backbone/feature_extractor/time_embed_project/linear/kernel"]
-    manifest = xmask3d_state_dict_manifest(
-        arch_3d=model.cfg.arch_3d,
-        arch_binary=model.cfg.arch_binary_head,
-        num_classes=model.cfg.num_classes,
-        num_queries=model.cfg.num_queries,
-        tap_dims=tap_dims,
-        proj_dim=flat["backbone/proj_0/conv3/kernel"].shape[3],
-        conv_dim=flat["pixel_decoder/mask_features/kernel"].shape[3],
-        latent_dim=model.cfg.projection_dim,
-        seq_len=cp.shape[1],
-        time_embed_dim=tp.shape[1],
-        enc_layers=model.cfg.pixel_enc_layers,
-        dec_layers=model.cfg.dec_layers,
-    )
-    # tiny clip_project output width = SD text-conditioning width, not 768
-    cond_w = cp.shape[2]
-    manifest["backbone.feature_extractor.clip_project.linear.weight"] = (
-        cond_w, model.cfg.projection_dim)
-    manifest["backbone.feature_extractor.clip_project.linear.bias"] = (cond_w,)
-    manifest["backbone.feature_extractor.clip_project.positional_embedding"] = (
-        1, cp.shape[1], cond_w)
-    manifest["backbone.feature_extractor.alpha_cond"] = (1, cp.shape[1], cond_w)
+    manifest = tiny_manifest_from_model(model, flat)
 
     arrays, _ = build_state_dict(manifest, values="random")
     params, stats = convert_xmask3d_checkpoint(

@@ -50,6 +50,25 @@ def test_pallas_bf16_value():
     )
 
 
+def test_pallas_sorted_grid_queries_match():
+    """lq == sum(H*W) engages the static target-position column sort; the
+    permuted kernel must be exactly equivalent to the unsorted one."""
+    shapes = ((6, 9), (3, 5))
+    n = sum(h * w for h, w in shapes)
+    value, shapes, loc, aw = _random_case(
+        jax.random.PRNGKey(3), lq=n, shapes=shapes
+    )
+    ref = ms_deform_attn(value, shapes, loc, aw)
+    srt = ms_deform_attn_pallas(
+        value, shapes, loc, aw, q_tile=128, sort_queries=True, interpret=True
+    )
+    uns = ms_deform_attn_pallas(
+        value, shapes, loc, aw, q_tile=128, sort_queries=False, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(srt), np.asarray(ref), atol=2e-5, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(srt), np.asarray(uns))
+
+
 def test_pallas_all_out_of_bounds_is_zero():
     value, shapes, loc, aw = _random_case(jax.random.PRNGKey(2))
     far = jnp.full_like(loc, 5.0)  # every sample far outside every level

@@ -254,6 +254,57 @@ def _stack_v4(v: jnp.ndarray, hh: int, ww: int) -> jnp.ndarray:
     return jnp.pad(v4, ((0, 0), (0, tp - v4.shape[1]), (0, 0)))
 
 
+def _static_query_sort(
+    spatial_shapes: Sequence[Tuple[int, int]], lq: int, npts: int
+):
+    """Static per-target-level column permutations for band locality.
+
+    The kernel's cost is the width of the 128-row table band each query
+    tile touches. In encoder usage (queries = the concatenated level grids,
+    lq == sum(H*W)) the column order is query-major, so a tile of s4/s5
+    queries sampling into the s3 table spans the WHOLE table (their grid
+    strides it), while the samples themselves are local to each query's
+    reference point. Sorting each target level's columns by the query's
+    STATIC grid position projected into that level makes every tile's band
+    near the packing minimum. Locations are dynamic but stay near the
+    reference points, and the dynamically computed lo/hi bounds keep the
+    kernel correct regardless — the permutation only shapes performance.
+
+    MEASURED NEGATIVE on v5e (2026-08-19, profile_pixel.py): sorted 5.5 ms
+    vs unsorted 3.5 ms per op; pixel decoder 29.7 vs 14.2 ms. The gather/
+    scatter permutation of the (BH, 8, Q) meta + (BH, d, L, Q) output
+    columns costs more HBM traffic than the narrower band saves — the
+    encoder's sample locations are already local enough that the dynamic
+    lo/hi band bounds capture most of the locality. Kept OPT-IN
+    (XMASK3D_DEFORM_SORT=1) with an equality test, default off.
+
+    Returns [(perm, inv_perm)] per level (identity when lq != sum(H*W)).
+    """
+    import numpy as np
+
+    n_tok = sum(h * w for h, w in spatial_shapes)
+    if lq != n_tok:
+        ident = np.arange(lq * npts)
+        return [(ident, ident) for _ in spatial_shapes]
+    qy, qx = [], []
+    for hh, ww in spatial_shapes:
+        ys = (np.arange(hh, dtype=np.float64) + 0.5) / hh
+        xs = (np.arange(ww, dtype=np.float64) + 0.5) / ww
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        qy.append(gy.ravel())
+        qx.append(gx.ravel())
+    qy = np.concatenate(qy)
+    qx = np.concatenate(qx)
+    perms = []
+    for hh, ww in spatial_shapes:
+        ty = np.clip(np.floor(qy * hh), 0, hh - 1)
+        tx = np.clip(np.floor(qx * ww), 0, ww - 1)
+        key = np.repeat(ty * (ww + 1) + tx, npts)  # table flat-index estimate
+        perm = np.argsort(key, kind="stable")
+        perms.append((perm, np.argsort(perm)))
+    return perms
+
+
 def ms_deform_attn_pallas(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -261,6 +312,7 @@ def ms_deform_attn_pallas(
     attention_weights: jnp.ndarray,
     *,
     q_tile: int = 2048,
+    sort_queries: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas forward of `ms_deform_attn` (same contract/semantics).
@@ -268,7 +320,11 @@ def ms_deform_attn_pallas(
     One fused kernel call per attention layer: every level's 2x2-stacked
     table is concatenated into a single (BH, 4d, Tsum) VMEM-resident value
     bank and every (level, point) sample becomes one one-hot matmul column.
+    `sort_queries` statically reorders each level's sample columns by
+    target-level position (see _static_query_sort) to minimize band width.
     """
+    import os
+
     b, _, heads, d = value.shape
     lq = sampling_locations.shape[1]
     npts = sampling_locations.shape[4]
@@ -278,6 +334,13 @@ def ms_deform_attn_pallas(
     offsets = [0]
     for hh, ww in spatial_shapes:
         offsets.append(offsets[-1] + hh * ww)
+    if os.environ.get("XMASK3D_DEFORM_SORT", "0") == "1":
+        sort_queries = True
+    perms = (
+        _static_query_sort(spatial_shapes, lq, npts)
+        if sort_queries
+        else None
+    )
 
     v4s, idxs, wqs = [], [], []
     base = 0
@@ -317,6 +380,8 @@ def ms_deform_attn_pallas(
             ],
             axis=1,
         )  # (BH, 8, Q)
+        if perms is not None:
+            meta = jnp.take(meta, perms[li][0], axis=2)
         wqs.append(
             jnp.pad(meta, ((0, 0), (0, 0), (0, qp - q)), constant_values=-1.0)
         )
@@ -335,6 +400,11 @@ def ms_deform_attn_pallas(
 
     nl = len(spatial_shapes)
     sampled = sampled.reshape(bh, d, nl, qp)[:, :, :, :q]
+    if perms is not None:
+        sampled = jnp.stack(
+            [jnp.take(sampled[:, :, li], perms[li][1], axis=2) for li in range(nl)],
+            axis=2,
+        )
     out = sampled.reshape(b, heads, d, nl, lq, npts).sum(axis=(3, 5))
     return out.transpose(0, 3, 1, 2).reshape(b, lq, heads * d).astype(value.dtype)
 
