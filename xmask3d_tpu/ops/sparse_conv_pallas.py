@@ -187,44 +187,85 @@ def sparse_conv_pallas(
 # per tile instead of ~K x (band + 1).
 
 
-def _spconv2_kernel(lo_ref, hi_ref, idx_ref, wt_ref, ft_ref, out_ref, *, n_taps):
+def _tap_groups(k: int) -> int:
+    """Number of contiguous tap groups sharing a narrow index band.
+
+    The host builder enumerates kernel offsets last-axis-fastest
+    (ops/sparse_conv.py::_offsets), and voxels are stored in packed-key scan
+    order with axis 0 most significant (::_pack) — so taps with the same
+    axis-0 offset see neighbour ranks shifted by nearly the same slab-sized
+    delta. Sweeping each axis-0 group's band separately (instead of the
+    union of all taps) cuts the visited table rows ~2-3.6x at 24k-voxel
+    levels (measured on synthetic scene kmaps). Grouping is a performance
+    hint only: per-group bounds are computed from the actual indices, so
+    correctness never depends on the enumeration order.
+    """
+    return {27: 3, 125: 5, 8: 2}.get(k, 1)
+
+
+def _spconv2_kernel(
+    lo_ref, hi_ref, idx_ref, wt_ref, ft_ref, out_ref, *, n_taps, n_groups
+):
     """One (b, q-tile) cell.
 
-    idx_ref: (1, 1, 8, KQT) f32 — row 0 holds the tap-major concatenated
-             indices (k*QT+q ordering), rows 1..7 sublane padding
+    idx_ref: (1, 1, 8, KQT) f32 — row (j % 8) holds this q-tile's tap-major
+             concatenated indices (k*QT+q ordering); the 8 sublanes carry 8
+             CONSECUTIVE q-tiles' indices, so the block is pure payload (a
+             zero-padded single-row layout cost 8x the idx HBM/DMA traffic —
+             ~21 MB per 24k-voxel conv)
+    lo_ref/hi_ref: (B, G, NQ) int32 SMEM — per tap-GROUP band bounds
     wt_ref:  (K, C_out, C_in) — all tap weights, VMEM-resident
     ft_ref:  (1, C_in, Vp) — feature table, VMEM-resident
-    out_ref: (1, C_out, QT) f32
+    out_ref: (1, C_out, QT) in the feature dtype
     """
     b = pl.program_id(0)
     j = pl.program_id(1)
     kqt = idx_ref.shape[3]
     qt = kqt // n_taps
     cin = ft_ref.shape[1]
-    idxv = idx_ref[0, 0, 0:1, :].astype(jnp.int32)  # (1, KQT)
-    t0 = lo_ref[b, j]
-    t1 = hi_ref[b, j]
+    gs = n_taps // n_groups  # taps per group (exact for 27/125/8; else 1 grp)
+    gqt = gs * qt
+    # row (j % 8) of the resident idx block, without dynamic sublane
+    # slicing: mask + max (indices are >= -1, so -1 is a max identity)
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, kqt), 0)
+    idxv = jnp.max(
+        jnp.where(rows8 == j % 8, idx_ref[0, 0], -1.0), axis=0, keepdims=True
+    ).astype(jnp.int32)  # (1, KQT)
 
-    # A fully-padded q-tile (all indices -1: capacity padding past the level's
-    # live voxel count) has an empty union band (t1 < t0). Skip not just the
-    # band sweep but the K weight matmuls too — at deep levels (256ch, caps
-    # 2-4x the live count) those dots are the whole cost of a dead tile.
-    @pl.when(t1 < t0)
+    empty = lo_ref[b, 0, j] > hi_ref[b, 0, j]
+    for g in range(1, n_groups):
+        empty = jnp.logical_and(empty, lo_ref[b, g, j] > hi_ref[b, g, j])
+
+    # A fully-padded q-tile (all indices -1: capacity padding past the
+    # level's live voxel count) has every group band empty. Skip not just
+    # the band sweeps but the K weight matmuls too — at deep levels (256ch,
+    # caps 2-4x the live count) those dots are the whole cost of a dead tile.
+    @pl.when(empty)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    @pl.when(t1 >= t0)
+    @pl.when(jnp.logical_not(empty))
     def _():
-        def body(t, acc):
-            c0 = pl.multiple_of(t * 128, 128)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) + c0
-            onehot = (rows == idxv).astype(ft_ref.dtype)  # (128, KQT)
-            vt = ft_ref[0, :, pl.ds(c0, 128)]  # (C_in, 128)
-            return acc + jnp.dot(vt, onehot, preferred_element_type=jnp.float32)
+        pieces = []
+        for g in range(n_groups):  # static unroll
+            idxg = idxv[:, g * gqt : (g + 1) * gqt]  # (1, GQT)
 
-        gath = jax.lax.fori_loop(
-            t0, t1 + 1, body, jnp.zeros((cin, kqt), jnp.float32)
-        ).astype(wt_ref.dtype)
+            def body(t, acc, idxg=idxg):
+                c0 = pl.multiple_of(t * 128, 128)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0) + c0
+                onehot = (rows == idxg).astype(ft_ref.dtype)  # (128, GQT)
+                vt = ft_ref[0, :, pl.ds(c0, 128)]  # (C_in, 128)
+                return acc + jnp.dot(
+                    vt, onehot, preferred_element_type=jnp.float32
+                )
+
+            pieces.append(
+                jax.lax.fori_loop(
+                    lo_ref[b, g, j], hi_ref[b, g, j] + 1, body,
+                    jnp.zeros((cin, gqt), jnp.float32),
+                )
+            )
+        gath = jnp.concatenate(pieces, axis=1).astype(wt_ref.dtype)
 
         acc = jnp.zeros((out_ref.shape[1], qt), jnp.float32)
         for k in range(n_taps):  # static unroll; tap count is static
@@ -232,7 +273,7 @@ def _spconv2_kernel(lo_ref, hi_ref, idx_ref, wt_ref, ft_ref, out_ref, *, n_taps)
                 wt_ref[k], gath[:, k * qt : (k + 1) * qt],
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0] = acc
+        out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def sparse_conv_pallas_v2(
@@ -251,9 +292,13 @@ def sparse_conv_pallas_v2(
     v_out = kmap.shape[2]
 
     if q_tile == 0:
-        # keep the (Cin, K*QT) f32 gather accumulator near ~2 MB
-        budget = 2 * 1024 * 1024 // 4
-        q_tile = min(512, max(128, budget // (cin * k) // 128 * 128))
+        q_tile = int(os.environ.get("XMASK3D_SPCONV_QTILE", "0"))
+    if q_tile == 0:
+        # 128 everywhere: sweep MACs scale as V*K*Cin*128*(QT/128 + spread
+        # + 1), so the narrowest tile minimizes band work; measured on-chip
+        # (v5e, 20k pts) it beats the old ~2 MB-buffer auto policy at EVERY
+        # level — 34C 4.33->3.51 ms, k5 stem 0.53->0.30 (2026-08-19 sweep).
+        q_tile = 128
 
     vp = _round_up(v_in, 128)
     qt = min(q_tile, _round_up(v_out, 128))
@@ -266,19 +311,30 @@ def sparse_conv_pallas_v2(
     idx = jnp.pad(kmap, ((0, 0), (0, 0), (0, qp - v_out)), constant_values=-1)
     # tap-major concat per tile: (B, K, NQ, QT) -> (B, NQ, K*QT)
     idx_t = idx.reshape(b, k, nq, qt).transpose(0, 2, 1, 3).reshape(b, nq, k * qt)
-    # union band bounds over all taps of a tile
-    lo = jnp.where(idx_t >= 0, idx_t // 128, nt).min(axis=-1).astype(jnp.int32)
-    hi = jnp.where(idx_t >= 0, idx_t // 128, -1).max(axis=-1).astype(jnp.int32)
-    # sublane-8 padding for the (8, KQT) f32 idx block; rows 1..7 unread
-    idx8 = jnp.zeros((b, nq, 8, k * qt), jnp.float32)
-    idx8 = idx8.at[:, :, 0, :].set(idx_t.astype(jnp.float32))
+    # band bounds per contiguous tap GROUP of a tile (see _tap_groups)
+    ng = _tap_groups(k)
+    idx_g = idx_t.reshape(b, nq, ng, (k // ng) * qt)
+    tiles = jnp.where(idx_g >= 0, idx_g // 128, -1)
+    lo = (
+        jnp.where(idx_g >= 0, idx_g // 128, nt).min(axis=-1)
+        .swapaxes(1, 2).astype(jnp.int32)  # (B, G, NQ)
+    )
+    hi = tiles.max(axis=-1).swapaxes(1, 2).astype(jnp.int32)
+    # pack 8 CONSECUTIVE q-tiles' indices into the (8, KQT) f32 idx block —
+    # all payload, no sublane padding (the kernel selects row j % 8); the
+    # block only changes every 8th grid step, so Pallas re-DMAs it 8x less
+    nq8 = _round_up(nq, 8)
+    idx8 = jnp.pad(
+        idx_t.astype(jnp.float32), ((0, 0), (0, nq8 - nq), (0, 0)),
+        constant_values=-1.0,
+    ).reshape(b, nq8 // 8, 8, k * qt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, nq),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 8, k * qt), lambda bb, j, lo, hi: (bb, j, 0, 0),
+                (1, 1, 8, k * qt), lambda bb, j, lo, hi: (bb, j // 8, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -296,9 +352,9 @@ def sparse_conv_pallas_v2(
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_spconv2_kernel, n_taps=k),
+        functools.partial(_spconv2_kernel, n_taps=k, n_groups=ng),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, cout, qp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, cout, qp), feats.dtype),
         interpret=interpret,
     )(lo, hi, idx8, wt, ft)
 
