@@ -352,16 +352,35 @@ def main():
         # untimed warmup pass: first-touch of program workspace + buffers
         vc = run_scene()
         np.asarray(vc[0].argmax(1))
+        # BENCH_PIPELINE_SCENES (default on): scenes are independent (fresh
+        # vote state each), so dispatch scene s+1 before syncing scene s —
+        # the per-scene dispatch round-trip (~36 ms through the relay)
+        # overlaps device compute instead of serializing with it. Every
+        # scene's voted per-point prediction is still materialized on the
+        # host inside the timed window; only the SYNC POINT moves, exactly
+        # as a pipelined serving loop would run. BENCH_PIPELINE_SCENES=0
+        # restores the strict dispatch->sync-per-scene loop.
+        pipelined = os.environ.get("BENCH_PIPELINE_SCENES", "1") == "1"
         t0 = time.time()
         sink = 0
-        for s in range(NUM_SCENES):
-            ts = time.time()
-            vc = run_scene()
-            # one host transfer per scene: the voted per-point prediction
-            # (forces materialization of the whole scene's compute)
-            sink += int(np.asarray(vc[0].argmax(1)).sum())
-            print(f"# scene {s}: {time.time() - ts:.2f}s", flush=True)
-        return NUM_SCENES / (time.time() - t0)
+        if pipelined:
+            preds = []
+            for s in range(NUM_SCENES):
+                vc = run_scene()
+                preds.append(vc[0].argmax(1))  # dispatched, not synced
+            for s, p in enumerate(preds):
+                sink += int(np.asarray(p).sum())
+        else:
+            for s in range(NUM_SCENES):
+                ts = time.time()
+                vc = run_scene()
+                # one host transfer per scene: the voted per-point
+                # prediction (materializes the whole scene's compute)
+                sink += int(np.asarray(vc[0].argmax(1)).sum())
+                print(f"# scene {s}: {time.time() - ts:.2f}s", flush=True)
+        dt = time.time() - t0
+        print(f"# {NUM_SCENES} scenes in {dt:.2f}s", flush=True)
+        return NUM_SCENES / dt
 
     # the tunnel-backed backend occasionally drops a transfer; retry the
     # whole measurement rather than reporting a corrupted number
