@@ -297,3 +297,68 @@ def test_collate_grid_jitter_applies_to_train_only_fields():
     for k in ("voxel_feats", "inds_reconstruct", "labels_3d", "x_label",
               "y_label", "img", "point_valid"):
         np.testing.assert_array_equal(plain[k], jit[k])
+
+
+def test_val_iter_stays_serial_under_workers(multi_view_dataset, monkeypatch):
+    """make_data_iter must NOT prefetch val batches even when workers>0:
+    prefetched batches would be built before the trainer sets ds.epoch
+    (engine/train.py:260-262), silently breaking the deterministic
+    epoch-indexed view iteration pinned above. This was a comment-only
+    invariant (engine/train.py:137); pin it behaviorally."""
+    from xmask3d_tpu.config import load_config
+    from xmask3d_tpu.engine.train import make_data_iter
+    import xmask3d_tpu.data.prefetch as prefetch_mod
+
+    root = multi_view_dataset
+    cfg = load_config(
+        "configs/scannet/xmask3d_scannet_B15N4.yaml",
+        [
+            "data_root", str(root / "scannet_3d"),
+            "data_root_2d", str(root / "scannet_2d"),
+            "caption_path", str(root / "caption.json"),
+            "workers", "2", "batch_size", "1", "loop", "1",
+        ],
+    )
+    caps = Capacities(max_points=4096, max_voxels=4096, max_targets=8)
+
+    prefetch_calls = []
+    real = prefetch_mod.parallel_map_iterator
+
+    def prefetch_spy(fn, args_iter, workers):
+        prefetch_calls.append(workers)
+        return real(fn, args_iter, workers)
+
+    monkeypatch.setattr(prefetch_mod, "parallel_map_iterator", prefetch_spy)
+
+    it, n, ds = make_data_iter(
+        cfg, caps, synthetic=False, tiny=True, split="val",
+        allow_hash_tokenizer=True,
+    )
+    assert ds is not None and n == 1
+    assert prefetch_calls == []  # structural: val never routed to prefetch
+
+    # behavioral: the epoch set AFTER iterator creation governs the very
+    # next batch (a prefetching iterator would have built it already)
+    attempts = []
+    orig = ds._load_view
+
+    def view_spy(scene_name, img_dir, locs):
+        attempts.append(int(os.path.basename(img_dir)[:-4]))
+        return orig(scene_name, img_dir, locs)
+
+    ds._load_view = view_spy
+    ds.epoch = 2
+    next(it)
+    assert attempts == [2]  # built lazily with the freshly-set epoch
+    attempts.clear()
+    ds.epoch = 0
+    next(it)
+    assert attempts == [0]
+
+    # the train split, by contrast, DOES use the worker pool — the
+    # invariant is the val/train asymmetry, not prefetch-off
+    make_data_iter(
+        cfg, caps, synthetic=False, tiny=True, split="train",
+        allow_hash_tokenizer=True,
+    )
+    assert prefetch_calls == [2]
